@@ -1,0 +1,265 @@
+"""3DMM asset pack: Basel Face Model PCA bases + whitening stats + topology.
+
+This is the TPU-native analogue of the reference's ``ParamsPack``
+(reference: utils/params.py:8-37): a single immutable bundle of arrays that
+every decode/render stage closes over. Unlike the reference (which loads five
+separate .npy/.pkl files at import time and registers them as torch buffers so
+``nn.DataParallel`` replicates them), we keep one flat ``.npz`` bundle and hand
+out a pytree of ``jnp`` arrays that jit functions take as an ordinary argument
+— XLA hoists them to device constants / replicated shards under ``jax.jit``.
+
+Expected array shapes (derived from reference utils/params.py:16-25,
+model_building.py:125, utils/io.py:78-81, Sim3DR/tests/test.cpp:116-117):
+
+- ``u_shp``, ``u_exp``: (159645, 1) mean shape / expression (interleaved
+  x1,y1,z1,x2,...)
+- ``w_shp``: (159645, 40) shape PCA basis
+- ``w_exp``: (159645, 10) expression PCA basis
+- ``keypoints``: (204,) int — flattened indices of the 68 landmark rows
+  (3 consecutive indices per landmark)
+- ``param_mean``, ``param_std``: (>=62,) whitening stats; first 12 are the
+  flattened 3x4 camera matrix, then 40 shape, 10 expression
+- ``tri``: (3, 105840) int32 0-based triangle vertex indices
+
+The real BFM data ships with the reference as ``3dmm_data/`` (absent in this
+environment). ``make_synthetic_assets`` generates a deterministic, shape-exact
+stand-in (a smooth face-like dome) so the entire framework — decode, render,
+training, benchmarks — runs end to end without the proprietary data;
+``convert_reference_assets`` ingests the real files when present.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import numpy as np
+
+NVER = 53_215          # dense mesh vertices (reference Sim3DR/tests/test.cpp:116)
+NTRI = 105_840         # triangles (reference Sim3DR/tests/test.cpp:117)
+N_SHP = 40             # shape PCA coefficients (reference model_building.py:30)
+N_EXP = 10             # expression PCA coefficients (reference model_building.py:31)
+N_POSE = 12            # flattened 3x4 camera matrix (reference model_building.py:27)
+N_PARAM = N_POSE + N_SHP + N_EXP  # 62
+N_LMK = 68             # sparse landmarks
+STD_SIZE = 120         # canonical crop size (reference utils/params.py:34)
+
+_ASSET_KEYS = (
+    "u_shp", "u_exp", "w_shp", "w_exp", "keypoints", "param_mean",
+    "param_std", "tri",
+)
+
+
+class ParamPack(NamedTuple):
+    """Immutable 3DMM parameter pack (device-ready pytree).
+
+    Derived fields (``u``, ``u_base`` ...) are precomputed once on load, the
+    same derivation the reference does at utils/params.py:25-33.
+    """
+
+    u: np.ndarray            # (159645, 1) = u_shp + u_exp
+    w_shp: np.ndarray        # (159645, 40)
+    w_exp: np.ndarray        # (159645, 10)
+    u_base: np.ndarray       # (204, 1)   68-landmark rows of u
+    w_shp_base: np.ndarray   # (204, 40)
+    w_exp_base: np.ndarray   # (204, 10)
+    param_mean: np.ndarray   # (62,)
+    param_std: np.ndarray    # (62,)
+    keypoints: np.ndarray    # (204,) int32
+    tri: np.ndarray          # (3, 105840) int32, 0-based
+
+    @property
+    def nver(self) -> int:
+        return self.u.shape[0] // 3
+
+    @property
+    def ntri(self) -> int:
+        return self.tri.shape[1]
+
+
+def _smooth_field(rng: np.random.Generator, h: int, w: int, n: int,
+                  cutoff: int = 6) -> np.ndarray:
+    """n smooth random scalar fields on an h x w grid via low-freq Fourier."""
+    yy = np.linspace(0.0, 1.0, h)[:, None]
+    xx = np.linspace(0.0, 1.0, w)[None, :]
+    out = np.zeros((n, h, w), np.float64)
+    for k in range(n):
+        for fy in range(cutoff):
+            for fx in range(cutoff):
+                if fx == 0 and fy == 0:
+                    continue
+                amp = rng.standard_normal(2) / (1.0 + fy * fy + fx * fx)
+                phase = 2 * np.pi * (fy * yy + fx * xx)
+                out[k] += amp[0] * np.sin(phase) + amp[1] * np.cos(phase)
+    return out
+
+
+def make_synthetic_assets(seed: int = 0) -> dict:
+    """Deterministic shape-exact stand-in for the missing BFM data.
+
+    The mean shape is a smooth dome ("face shell") facing +z, laid out in the
+    canonical 120x120 crop coordinates so the identity camera matrix renders a
+    centred face. Bases are smooth low-frequency deformation fields so random
+    coefficients produce plausible continuous geometry (important for
+    exercising the renderer and NME math realistically).
+    """
+    rng = np.random.default_rng(seed)
+
+    # Vertex grid: H*W <= NVER, leftover vertices duplicated at the rim.
+    H, W = 205, 259                       # 53,095 grid vertices
+    n_grid = H * W
+    vv, uu = np.meshgrid(np.linspace(0, 1, H), np.linspace(0, 1, W),
+                         indexing="ij")
+    # Ellipse-parameterised face shell centred at (60, 60) spanning ~[15,105].
+    x = 60.0 + 45.0 * (uu - 0.5) * 2.0 * np.sqrt(np.maximum(0.0, 1.0 - (2 * vv - 1) ** 2 * 0.35))
+    y_img = 60.0 + 52.0 * (vv - 0.5) * 2.0
+    r2 = ((uu - 0.5) * 2) ** 2 + ((vv - 0.5) * 2) ** 2
+    z = 28.0 * np.exp(-1.6 * r2) - 8.0
+    # Store y pre-flip: decode does y -> STD_SIZE + 1 - y (model_building.py:129).
+    y = (STD_SIZE + 1) - y_img
+
+    grid_verts = np.stack([x, y, z], axis=-1).reshape(-1, 3)       # (n_grid, 3)
+    extra_idx = rng.integers(0, n_grid, NVER - n_grid)
+    verts = np.concatenate([grid_verts, grid_verts[extra_idx]], 0)  # (NVER, 3)
+    u = verts.reshape(-1, 1).astype(np.float32)                    # (159645, 1)
+    u_shp = u.copy()
+    u_exp = np.zeros_like(u)
+
+    # Smooth deformation bases on the grid; rim duplicates copy their source.
+    def basis(n: int, scale: float, fseed: int) -> np.ndarray:
+        frng = np.random.default_rng(fseed)
+        fields = _smooth_field(frng, H, W, n * 3)
+        fields = fields.reshape(n, 3, H * W).transpose(0, 2, 1)    # (n, grid, 3)
+        fields = np.concatenate([fields, fields[:, extra_idx]], 1)  # (n, NVER, 3)
+        flat = fields.reshape(n, -1).T                             # (159645, n)
+        flat = flat / (np.linalg.norm(flat, axis=0, keepdims=True) + 1e-9)
+        return (flat * scale).astype(np.float32)
+
+    w_shp = basis(N_SHP, 120.0, seed + 1)      # ~0.3px rms per unit coeff
+    w_exp = basis(N_EXP, 60.0, seed + 2)
+
+    # 68 landmark vertices: spread over the grid interior, deterministic.
+    lm_rows = np.linspace(0.15, 0.9, 10)
+    pts = []
+    for i, rv in enumerate(lm_rows):
+        ncol = [9, 5, 5, 9, 6, 6, 8, 8, 6, 6][i]
+        for cu in np.linspace(0.2, 0.8, ncol):
+            pts.append((rv, cu))
+    pts = pts[:N_LMK]
+    kp_vert = np.array([int(round(rv * (H - 1))) * W + int(round(cu * (W - 1)))
+                        for rv, cu in pts], np.int64)
+    # Flattened index triplets, construction mirrors reference utils/io.py:78-81.
+    keypoints = np.stack([kp_vert * 3, kp_vert * 3 + 1, kp_vert * 3 + 2],
+                         1).reshape(-1).astype(np.int32)          # (204,)
+
+    # Triangulation of the grid + padding with repeats to hit NTRI exactly.
+    i0 = (np.arange(H - 1)[:, None] * W + np.arange(W - 1)[None, :]).ravel()
+    t1 = np.stack([i0, i0 + 1, i0 + W], 0)
+    t2 = np.stack([i0 + 1, i0 + W + 1, i0 + W], 0)
+    tri = np.concatenate([t1, t2], 1)                              # (3, 105264)
+    pad = NTRI - tri.shape[1]
+    tri = np.concatenate([tri, tri[:, :pad]], 1).astype(np.int32)  # (3, 105840)
+
+    # Whitening stats: identity camera mean, plausible spreads.
+    param_mean = np.zeros(N_PARAM, np.float32)
+    param_mean[:12] = np.array([1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], np.float32)
+    param_std = np.ones(N_PARAM, np.float32)
+    param_std[:12] = np.array([.2, .1, .1, 6., .1, .2, .1, 6., .1, .1, .2, 2.],
+                              np.float32)
+
+    return {
+        "u_shp": u_shp, "u_exp": u_exp, "w_shp": w_shp, "w_exp": w_exp,
+        "keypoints": keypoints, "param_mean": param_mean,
+        "param_std": param_std, "tri": tri,
+    }
+
+
+def convert_reference_assets(d: str) -> dict:
+    """Ingest the reference's ``3dmm_data/`` directory when available.
+
+    File layout per reference utils/params.py:12-24 (npy bases + pkl whitening
+    stats) and model_building.py:68 (tri.mat, 1-based 3xN triangles).
+    """
+    import pickle
+
+    def _load(p):
+        if p.endswith(".npy"):
+            return np.load(p)
+        with open(p, "rb") as f:
+            return pickle.load(f)
+
+    out = {
+        "u_shp": _load(os.path.join(d, "u_shp.npy")).astype(np.float32),
+        "u_exp": _load(os.path.join(d, "u_exp.npy")).astype(np.float32),
+        "w_shp": _load(os.path.join(d, "w_shp_sim.npy")).astype(np.float32),
+        "w_exp": _load(os.path.join(d, "w_exp_sim.npy")).astype(np.float32),
+        "keypoints": _load(os.path.join(d, "keypoints_sim.npy")).astype(np.int32),
+    }
+    meta = _load(os.path.join(d, "param_whitening.pkl"))
+    out["param_mean"] = np.asarray(meta["param_mean"], np.float32)
+    out["param_std"] = np.asarray(meta["param_std"], np.float32)
+    tri_path = os.path.join(d, "tri.mat")
+    if os.path.exists(tri_path):
+        import scipy.io as sio
+        out["tri"] = (sio.loadmat(tri_path)["tri"] - 1).astype(np.int32)
+    else:
+        out["tri"] = np.zeros((3, 0), np.int32)
+    return out
+
+
+def pack_from_arrays(d: dict) -> ParamPack:
+    """Derive the full pack (base sub-bases, u = u_shp + u_exp)."""
+    u = (d["u_shp"] + d["u_exp"]).astype(np.float32).reshape(-1, 1)
+    kp = d["keypoints"].astype(np.int32)
+    return ParamPack(
+        u=u,
+        w_shp=d["w_shp"].astype(np.float32),
+        w_exp=d["w_exp"].astype(np.float32),
+        u_base=u[kp].reshape(-1, 1),
+        w_shp_base=d["w_shp"][kp].astype(np.float32),
+        w_exp_base=d["w_exp"][kp].astype(np.float32),
+        param_mean=d["param_mean"][:N_PARAM].astype(np.float32),
+        param_std=d["param_std"][:N_PARAM].astype(np.float32),
+        keypoints=kp,
+        tri=d["tri"].astype(np.int32),
+    )
+
+
+def save_assets_npz(path: str, d: dict) -> None:
+    np.savez_compressed(path, **{k: d[k] for k in _ASSET_KEYS})
+
+
+def load_assets_npz(path: str) -> dict:
+    z = np.load(path)
+    return {k: z[k] for k in _ASSET_KEYS}
+
+
+_DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "assets", "bfm_synth.npz")
+
+_PACK_CACHE: dict = {}
+
+
+def load_param_pack(path: str | None = None, *, synthetic_seed: int = 0) -> ParamPack:
+    """Resolve the asset pack: explicit path > $SYNERGY_BFM > cached synthetic.
+
+    The synthetic bundle is generated once and cached to ``assets/`` so every
+    process (tests, bench, demos) sees identical data.
+    """
+    key = path or os.environ.get("SYNERGY_BFM") or _DEFAULT_CACHE
+    if key in _PACK_CACHE:
+        return _PACK_CACHE[key]
+    if os.path.exists(key):
+        pack = pack_from_arrays(load_assets_npz(key))
+    elif key == _DEFAULT_CACHE:
+        d = make_synthetic_assets(seed=synthetic_seed)
+        os.makedirs(os.path.dirname(key), exist_ok=True)
+        # np.savez appends ".npz" unless the name already ends with it.
+        tmp = key + f".tmp{os.getpid()}.npz"
+        save_assets_npz(tmp, d)
+        os.replace(tmp, key)
+        pack = pack_from_arrays(d)
+    else:
+        raise FileNotFoundError(f"3DMM asset bundle not found: {key}")
+    _PACK_CACHE[key] = pack
+    return pack
