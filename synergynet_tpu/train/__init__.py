@@ -1,0 +1,8 @@
+"""Training runtime: SPMD step, optimizer, schedule, data pipeline, meters."""
+
+from synergynet_tpu.train.step import (  # noqa: F401
+    TrainState, make_optimizer, create_train_state, make_train_step,
+    jit_train_step,
+)
+from synergynet_tpu.train.schedule import step_decay_lr, lr_per_step  # noqa: F401
+from synergynet_tpu.train.meters import AverageMeter, MeterBank  # noqa: F401

@@ -19,6 +19,11 @@ import jax  # noqa: E402
 # via sitecustomize before conftest runs; the config update wins over both.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: full-model train-step compiles on CPU take
+# minutes; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/synergy_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

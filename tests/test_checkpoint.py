@@ -1,0 +1,61 @@
+"""Checkpoint round-trip and torch-import conversions."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from synergynet_tpu.core.checkpoint import (
+    save_checkpoint, restore_checkpoint, checkpoint_metadata,
+    import_conv, import_linear, import_bn,
+)
+
+
+class TestPytreeCheckpoint:
+    def test_roundtrip(self, tmp_path, rng):
+        tree = {
+            "params": {"dense": {"kernel": rng.normal(0, 1, (4, 8)).astype(np.float32),
+                                 "bias": np.zeros(8, np.float32)}},
+            "step": np.int32(17),
+            "nested": [np.arange(3.0), np.arange(5.0)],
+        }
+        p = str(tmp_path / "ckpt.npz")
+        save_checkpoint(p, tree, step=17, metadata={"arch": "mobilenet_v2"})
+        template = jax.tree.map(np.zeros_like, tree)
+        restored = restore_checkpoint(p, template)
+        for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(a, b)
+        meta = checkpoint_metadata(p)
+        assert meta["step"] == 17 and meta["arch"] == "mobilenet_v2"
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        p = str(tmp_path / "c.npz")
+        save_checkpoint(p, {"a": np.zeros((2, 2))})
+        with pytest.raises(ValueError):
+            restore_checkpoint(p, {"a": np.zeros((3, 3))})
+
+    def test_missing_leaf_raises(self, tmp_path):
+        p = str(tmp_path / "c.npz")
+        save_checkpoint(p, {"a": np.zeros(2)})
+        with pytest.raises(KeyError):
+            restore_checkpoint(p, {"a": np.zeros(2), "b": np.zeros(2)})
+
+
+class TestTorchConversions:
+    def test_conv_transpose(self, rng):
+        w = rng.normal(0, 1, (16, 3, 5, 5))  # OIHW
+        got = import_conv(w)
+        assert got.shape == (5, 5, 3, 16)
+        np.testing.assert_array_equal(got[0, 1, 2, 3], w[3, 2, 0, 1])
+
+    def test_linear_transpose(self, rng):
+        w = rng.normal(0, 1, (62, 1280))
+        assert import_linear(w).shape == (1280, 62)
+
+    def test_bn_mapping(self):
+        sd = {"bn.weight": np.ones(4), "bn.bias": np.zeros(4),
+              "bn.running_mean": np.full(4, 2.0),
+              "bn.running_var": np.full(4, 3.0)}
+        m = import_bn(sd, "bn")
+        assert set(m) == {"scale", "bias", "mean", "var"}
+        np.testing.assert_array_equal(m["var"], np.full(4, 3.0))

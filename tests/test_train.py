@@ -1,0 +1,119 @@
+"""Training runtime: schedule parity, NaN-skip, sharded train step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from synergynet_tpu.core import make_mesh, replicate, shard_batch
+from synergynet_tpu.nn import SynergyNet
+from synergynet_tpu.train import (
+    TrainState, make_optimizer, create_train_state, make_train_step,
+    jit_train_step, step_decay_lr, AverageMeter, MeterBank,
+)
+
+
+class TestSchedule:
+    def test_reference_factors(self):
+        # base 0.08, milestones (48, 64), warmup 5 (train_script.sh)
+        lr = step_decay_lr(0.08, (48, 64), 5)
+        # reference adjust_learning_rate: epoch<=warmup -> n=1
+        assert float(lr(1)) == pytest.approx(0.08 * 0.2)
+        assert float(lr(5)) == pytest.approx(0.08 * 0.2)
+        assert float(lr(6)) == pytest.approx(0.08)
+        assert float(lr(48)) == pytest.approx(0.08)
+        assert float(lr(49)) == pytest.approx(0.08 * 0.2)
+        assert float(lr(64)) == pytest.approx(0.08 * 0.2)
+        assert float(lr(65)) == pytest.approx(0.08 * 0.04)
+        assert float(lr(80)) == pytest.approx(0.08 * 0.04)
+
+    def test_jit_traceable(self):
+        lr = step_decay_lr()
+        vals = jax.jit(jax.vmap(lr))(jnp.arange(1, 81))
+        assert vals.shape == (80,)
+
+
+class TestMeters:
+    def test_average_meter(self):
+        m = AverageMeter()
+        m.update(2.0, n=2)
+        m.update(4.0)
+        assert m.avg == pytest.approx(8.0 / 3)
+        assert m.val == 4.0
+
+    def test_meter_bank(self):
+        b = MeterBank()
+        b.update({"a": 1.0, "b": 2.0})
+        b.update({"a": 3.0})
+        assert b.averages()["a"] == pytest.approx(2.0)
+        assert "a:" in b.format()
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(small_pack):
+    """A width-0.5 SynergyNet keeps CPU compile time manageable."""
+    model = SynergyNet(arch="mobilenet_v2_0.5")
+    optimizer = make_optimizer(lambda step: 0.01, momentum=0.9, nesterov=True)
+    state = create_train_state(model, jax.random.PRNGKey(0), optimizer)
+    return model, optimizer, state
+
+
+class TestTrainStep:
+    def test_single_step_updates_params(self, tiny_setup, small_pack, rng):
+        model, optimizer, state = tiny_setup
+        step = make_train_step(model, small_pack, optimizer)
+        images = jnp.asarray(rng.normal(0, 1, (2, 120, 120, 3)),
+                             jnp.float32)
+        target = jnp.asarray(rng.normal(0, 1, (2, 62)), jnp.float32)
+        new_state, metrics = step(state, images, target, jax.random.PRNGKey(2))
+        assert int(new_state.step) == 1
+        assert float(metrics["skipped"]) == 0.0
+        assert np.isfinite(float(metrics["loss_total"]))
+        # params actually moved
+        diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                            new_state.params, state.params)
+        assert max(jax.tree.leaves(diff)) > 0
+
+    def test_nan_batch_skips_step(self, tiny_setup, small_pack, rng):
+        model, optimizer, state = tiny_setup
+        step = make_train_step(model, small_pack, optimizer)
+        images = jnp.full((2, 120, 120, 3), jnp.nan, jnp.float32)
+        target = jnp.zeros((2, 62), jnp.float32)
+        new_state, metrics = step(state, images, target, jax.random.PRNGKey(2))
+        assert float(metrics["skipped"]) == 1.0
+        # parameters unchanged
+        diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                            new_state.params, state.params)
+        assert max(jax.tree.leaves(diff)) == 0.0
+        assert int(new_state.step) == 1  # step counter still advances
+
+    def test_sharded_step_8_devices(self, tiny_setup, small_pack, rng):
+        model, optimizer, state = tiny_setup
+        mesh = make_mesh()  # 8x1 data mesh from conftest's virtual devices
+        assert mesh.shape["data"] == 8
+        step = jit_train_step(model, small_pack, optimizer, mesh)
+        state_r = replicate(mesh, state)
+        images = shard_batch(mesh, jnp.asarray(
+            rng.normal(0, 1, (16, 120, 120, 3)), jnp.float32))
+        target = shard_batch(mesh, jnp.asarray(
+            rng.normal(0, 1, (16, 62)), jnp.float32))
+        new_state, metrics = step(state_r, images, target,
+                                  jax.random.PRNGKey(3))
+        assert np.isfinite(float(metrics["loss_total"]))
+        assert float(metrics["skipped"]) == 0.0
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip_8(self):
+        import __graft_entry__ as g
+        g.dryrun_multichip(8)
+
+    def test_entry_compiles(self):
+        import __graft_entry__ as g
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        param62, lmk, angles, t3d = out
+        assert param62.shape == (8, 62)
+        assert lmk.shape == (8, 3, 68)
+        assert angles.shape == (8, 3) and t3d.shape == (8, 3)
