@@ -1,0 +1,13 @@
+"""Face detection: TPU-native FaceBoxes (net, anchors, NMS, pipeline)."""
+
+from synergynet_tpu.detect.net import FaceBoxesNet  # noqa: F401
+from synergynet_tpu.detect.anchors import (  # noqa: F401
+    generate_anchors, num_anchors, decode_boxes, STEPS, MIN_SIZES, VARIANCES,
+)
+from synergynet_tpu.detect.nms import (  # noqa: F401
+    greedy_nms_mask, nms_indices, pairwise_iou,
+)
+from synergynet_tpu.detect.detector import FaceBoxes  # noqa: F401
+from synergynet_tpu.detect.torch_import import (  # noqa: F401
+    load_faceboxes_variables, convert_torch_state_dict,
+)

@@ -1,0 +1,141 @@
+"""FaceBoxes detection CNN, TPU-native (flax / NHWC).
+
+Re-design of the reference detector net (reference:
+FaceBoxes/models/faceboxes.py:64-150): CRelu stem (conv + BN + cat[x, -x] +
+ReLU) at strides 4 and 2 with two 3x3/2 max-pools, three Inception blocks,
+and two extra conv stages; three detection sources at strides 32/64/128 feed
+multibox heads with 21/1/1 anchors x (4 loc, 2 conf) each.
+
+TPU choices:
+- NHWC layout throughout (XLA's native TPU conv layout; reference is NCHW),
+  which also makes the head reshape to (B, A, 4) a free view — the reference
+  needs an explicit permute (faceboxes.py:138-141).
+- CRelu computes the BN once and concatenates [x, -x] — half the stem conv
+  FLOPs for the same representational trick as the reference.
+- Softmax on the conf head is fused into the jitted pipeline, not a module
+  flag (the reference switches on ``phase``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+NUM_CLASSES = 2
+# Anchors per spatial cell for the three detection sources: the 32-px anchor
+# is densified 4x4 and the 64-px 2x2 (reference FaceBoxes/utils/prior_box.py:
+# 28-42), giving 16 + 4 + 1 = 21 on source 1.
+ANCHORS_PER_CELL = (21, 1, 1)
+
+
+class BasicConv2d(nn.Module):
+    """Conv + BN + ReLU (reference faceboxes.py:8-19)."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    pad: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=self.stride, padding=self.pad, use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                         momentum=0.9, dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+class CRelu(nn.Module):
+    """Conv + BN + cat[x, -x] + ReLU (reference faceboxes.py:49-61)."""
+
+    features: int
+    kernel: int
+    stride: int
+    pad: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=self.stride, padding=self.pad, use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                         momentum=0.9, dtype=self.dtype, name="bn")(x)
+        return nn.relu(jnp.concatenate([x, -x], axis=-1))
+
+
+class Inception(nn.Module):
+    """4-branch Inception block, 128 -> 128 channels (reference
+    faceboxes.py:21-46)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = lambda f, k, p, name: BasicConv2d(
+            f, k, 1, p, dtype=self.dtype, name=name)
+        b0 = conv(32, 1, 0, "branch1x1")(x, train)
+        pool = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                           count_include_pad=False)
+        b1 = conv(32, 1, 0, "branch1x1_2")(pool, train)
+        b2 = conv(24, 1, 0, "branch3x3_reduce")(x, train)
+        b2 = conv(32, 3, 1, "branch3x3")(b2, train)
+        b3 = conv(24, 1, 0, "branch3x3_reduce_2")(x, train)
+        b3 = conv(32, 3, 1, "branch3x3_2")(b3, train)
+        b3 = conv(32, 3, 1, "branch3x3_3")(b3, train)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+def _maxpool_3x3_s2(x):
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+
+class FaceBoxesNet(nn.Module):
+    """(B, H, W, 3) mean-subtracted BGR -> (loc (B, A, 4), conf (B, A, 2)).
+
+    ``conf`` is raw logits; the detector pipeline applies softmax. A = total
+    anchor count for (H, W); anchor ordering matches
+    :func:`synergynet_tpu.detect.anchors.generate_anchors`.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        dt = self.dtype
+        x = x.astype(dt)
+        x = CRelu(24, 7, 4, 3, dtype=dt, name="conv1")(x, train)
+        x = _maxpool_3x3_s2(x)
+        x = CRelu(64, 5, 2, 2, dtype=dt, name="conv2")(x, train)
+        x = _maxpool_3x3_s2(x)
+        x = Inception(dtype=dt, name="inception1")(x, train)
+        x = Inception(dtype=dt, name="inception2")(x, train)
+        x = Inception(dtype=dt, name="inception3")(x, train)
+        src1 = x                                             # stride 32
+        x = BasicConv2d(128, 1, 1, 0, dtype=dt, name="conv3_1")(x, train)
+        x = BasicConv2d(256, 3, 2, 1, dtype=dt, name="conv3_2")(x, train)
+        src2 = x                                             # stride 64
+        x = BasicConv2d(128, 1, 1, 0, dtype=dt, name="conv4_1")(x, train)
+        x = BasicConv2d(256, 3, 2, 1, dtype=dt, name="conv4_2")(x, train)
+        src3 = x                                             # stride 128
+
+        locs, confs = [], []
+        for i, (src, n_anchor) in enumerate(
+                zip((src1, src2, src3), ANCHORS_PER_CELL)):
+            loc = nn.Conv(n_anchor * 4, (3, 3), padding=1, dtype=dt,
+                          name=f"loc{i}")(src)
+            conf = nn.Conv(n_anchor * NUM_CLASSES, (3, 3), padding=1,
+                           dtype=dt, name=f"conf{i}")(src)
+            b = loc.shape[0]
+            # NHWC: (B, H, W, A*4) -> (B, H*W*A, 4) — the same (row, col,
+            # anchor) flattening the reference reaches via permute+view.
+            locs.append(loc.reshape(b, -1, 4))
+            confs.append(conf.reshape(b, -1, NUM_CLASSES))
+        loc = jnp.concatenate(locs, axis=1).astype(jnp.float32)
+        conf = jnp.concatenate(confs, axis=1).astype(jnp.float32)
+        return loc, conf

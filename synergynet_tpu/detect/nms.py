@@ -1,0 +1,84 @@
+"""Greedy NMS as a fixpoint of masked matrix-vector products — TPU-native.
+
+The reference suppresses boxes with a sequential scalar Cython loop
+(reference: FaceBoxes/utils/nms/cpu_nms.pyx:17-67). A literal translation
+(fori_loop over candidates) would serialize thousands of tiny steps on the
+TPU. Instead we exploit the structure of greedy NMS: with boxes sorted by
+score, box i is kept iff no kept box j < i has IoU >= threshold — a
+well-founded recurrence whose unique fixpoint can be reached by iterating
+
+    keep <- ~(A @ keep > 0),   A[i, j] = (iou[i, j] >= t) & (j < i)
+
+from keep = all-ones. Each iteration settles every box whose "suppression
+chain" depth is <= the iteration count, so convergence takes O(longest
+chain) iterations (single digits for real face layouts, never more than K),
+and each iteration is one K x K matvec on the MXU. Result is bit-identical
+to the sequential greedy algorithm.
+
+IoU uses the +1 pixel-inclusive areas of the reference (cpu_nms.pyx:24,57-60).
+All shapes are static: callers pad candidates to K and mark padding with
+score -inf (padding rows decode to degenerate boxes that never suppress).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_iou(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(K, 4) corner boxes -> (K, K) IoU with +1 inclusive areas."""
+    x1, y1, x2, y2 = (boxes[:, i] for i in range(4))
+    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    xx1 = jnp.maximum(x1[:, None], x1[None, :])
+    yy1 = jnp.maximum(y1[:, None], y1[None, :])
+    xx2 = jnp.minimum(x2[:, None], x2[None, :])
+    yy2 = jnp.minimum(y2[:, None], y2[None, :])
+    w = jnp.maximum(0.0, xx2 - xx1 + 1.0)
+    h = jnp.maximum(0.0, yy2 - yy1 + 1.0)
+    inter = w * h
+    return inter / (area[:, None] + area[None, :] - inter)
+
+
+@partial(jax.jit, static_argnames=("iou_threshold",))
+def greedy_nms_mask(boxes: jnp.ndarray, valid: jnp.ndarray,
+                    iou_threshold: float = 0.3) -> jnp.ndarray:
+    """Keep-mask of greedy NMS over score-sorted ``boxes`` (K, 4).
+
+    ``valid`` (K,) bool marks real (non-padding) candidates; padding is
+    never kept and never suppresses.
+    """
+    k = boxes.shape[0]
+    iou = pairwise_iou(boxes)
+    lower = jnp.tril(jnp.ones((k, k), jnp.float32), -1)     # j < i
+    sup = (iou >= iou_threshold).astype(jnp.float32) * lower
+    sup = sup * valid[None, :].astype(jnp.float32)          # only real j suppress
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(jnp.any(keep != prev), it < k)
+
+    def body(state):
+        keep, _, it = state
+        suppressed = (sup @ keep.astype(jnp.float32)) > 0.0
+        return jnp.logical_and(~suppressed, valid), keep, it + 1
+
+    keep0 = valid
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros_like(keep0), jnp.int32(0)))
+    return keep
+
+
+def nms_indices(dets, iou_threshold: float = 0.3):
+    """Reference-compatible host API: (N, 5) [x1 y1 x2 y2 score] -> kept
+    indices in descending-score order (reference nms_wrapper.py:13-19)."""
+    import numpy as np
+
+    dets = np.asarray(dets, np.float32)
+    order = np.argsort(-dets[:, 4], kind="stable")
+    boxes = jnp.asarray(dets[order, :4])
+    valid = jnp.ones((dets.shape[0],), bool)
+    keep = np.asarray(greedy_nms_mask(boxes, valid, iou_threshold))
+    return [int(i) for i in order[keep]]

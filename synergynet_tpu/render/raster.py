@@ -1,0 +1,208 @@
+"""Sort-based z-buffer rasterizer — the TPU-native Sim3DR.
+
+The reference rasterizes with a scalar C++ loop: per triangle, scan the
+bbox, barycentric-test each pixel, depth-test against a z-buffer, blend
+(reference: Sim3DR/lib/rasterize_kernel.cpp:219-287). A z-buffer is a
+scatter-with-max — the worst possible shape for a vector machine — so the
+TPU design inverts it into data-parallel passes with one sort:
+
+1. **Fragment generation** (vectorized over all triangles x a fixed local
+   window): every triangle evaluates barycentric coverage, interpolated
+   depth and color over a WIN_H x WIN_W window anchored at its clamped
+   bbox origin. Work is proportional to sum(bbox areas) — the same
+   complexity as the reference's scan — but runs 8x128 lanes wide on the
+   VPU with no data-dependent control flow.
+2. **Sort** fragments lexicographically by (pixel, -depth, triangle id)
+   with XLA's TPU sort. The winner of every pixel is now the first
+   fragment of its pixel segment.
+3. **Winner select + unique scatter**: segment-first mask, then a
+   sorted/unique scatter of depth and color planes — conflict-free by
+   construction, so XLA emits a vectorized scatter.
+
+Semantics vs the reference: identical coverage rule (u >= 0, v >= 0,
+u + v < 1 with the degenerate-triangle inverDeno=0 convention), identical
++strictly-greater depth test with first-triangle tie-break, identical
+uint8 truncation blend ``(uchar)((1-alpha)*bg + alpha*255*color)``. The one
+intentional divergence: the reference re-blends a pixel every time a nearer
+triangle arrives (order-dependent repeated compositing); here each pixel is
+blended exactly once with its winning triangle — deterministic and
+order-independent.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEPTH_INIT = -1e8    # reference Sim3DR/Sim3DR.py:25
+
+
+def _fragment_windows(vertices, triangles, colors, h, w, win_h, win_w):
+    """Per-(triangle, window-slot) fragments.
+
+    Returns (pix, depth, rgb, valid) with shapes (T*S,), (T*S,), (T*S, 3),
+    (T*S,) where S = win_h * win_w. ``pix`` is h*w for invalid fragments.
+    """
+    p0 = vertices[triangles[:, 0]]
+    p1 = vertices[triangles[:, 1]]
+    p2 = vertices[triangles[:, 2]]
+
+    # Clamped integer bbox (reference rasterize_kernel.cpp:244-252).
+    xs = jnp.stack([p0[:, 0], p1[:, 0], p2[:, 0]], 1)
+    ys = jnp.stack([p0[:, 1], p1[:, 1], p2[:, 1]], 1)
+    x_min = jnp.maximum(jnp.floor(xs.min(1)).astype(jnp.int32), 0)
+    x_max = jnp.minimum(jnp.ceil(xs.max(1)).astype(jnp.int32), w - 1)
+    y_min = jnp.maximum(jnp.floor(ys.min(1)).astype(jnp.int32), 0)
+    y_max = jnp.minimum(jnp.ceil(ys.max(1)).astype(jnp.int32), h - 1)
+
+    # Barycentric setup (rasterize_kernel.cpp:26-83): v0 = p2-p0, v1 = p1-p0.
+    v0 = p2[:, :2] - p0[:, :2]
+    v1 = p1[:, :2] - p0[:, :2]
+    dot00 = jnp.sum(v0 * v0, 1)
+    dot01 = jnp.sum(v0 * v1, 1)
+    dot11 = jnp.sum(v1 * v1, 1)
+    den = dot00 * dot11 - dot01 * dot01
+    # The reference tests den == 0 exactly (rasterize_kernel.cpp:42-45); under
+    # XLA the subtraction fuses into an FMA whose residue makes an exactly
+    # degenerate triangle's den a tiny nonzero, exploding 1/den. A relative
+    # tolerance (|den| vs the product of squared edge lengths ~ sin^2 of the
+    # corner angle) classifies those consistently in eager and jitted code.
+    degenerate = jnp.abs(den) <= 1e-6 * dot00 * dot11
+    inv = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, den))
+
+    # Window pixel coordinates: slot s -> (x_min + s % win_w, y_min + s // win_w).
+    t = triangles.shape[0]
+    s = win_h * win_w
+    sx = (jnp.arange(s, dtype=jnp.int32) % win_w)[None, :]       # (1, S)
+    sy = (jnp.arange(s, dtype=jnp.int32) // win_w)[None, :]
+    px = x_min[:, None] + sx                                      # (T, S)
+    py = y_min[:, None] + sy
+    in_bbox = (px <= x_max[:, None]) & (py <= y_max[:, None]) & \
+              (x_max >= x_min)[:, None] & (y_max >= y_min)[:, None]
+
+    # u, v are affine in the pixel position p: dot02 = v0.(p - p0) etc.
+    dx = px.astype(jnp.float32) - p0[:, 0:1]
+    dy = py.astype(jnp.float32) - p0[:, 1:2]
+    dot02 = v0[:, 0:1] * dx + v0[:, 1:2] * dy
+    dot12 = v1[:, 0:1] * dx + v1[:, 1:2] * dy
+    u = (dot11[:, None] * dot02 - dot01[:, None] * dot12) * inv[:, None]
+    v = (dot00[:, None] * dot12 - dot01[:, None] * dot02) * inv[:, None]
+    covered = (u >= 0) & (v >= 0) & (u + v < 1) & in_bbox
+
+    w0 = 1.0 - u - v
+    w1 = v
+    w2 = u
+    depth = (w0 * p0[:, 2:3] + w1 * p1[:, 2:3] + w2 * p2[:, 2:3])  # (T, S)
+
+    c0 = colors[triangles[:, 0]][:, None, :]                       # (T, 1, 3)
+    c1 = colors[triangles[:, 1]][:, None, :]
+    c2 = colors[triangles[:, 2]][:, None, :]
+    rgb = w0[..., None] * c0 + w1[..., None] * c1 + w2[..., None] * c2
+
+    pix = jnp.where(covered, py * w + px, h * w)
+    # Fragments below the initial z-buffer never draw (depth test vs -1e8).
+    pix = jnp.where(depth > DEPTH_INIT, pix, h * w)
+    return (pix.reshape(-1), depth.reshape(-1), rgb.reshape(-1, 3),
+            covered.reshape(-1))
+
+
+@partial(jax.jit, static_argnames=("h", "w", "win_h", "win_w"))
+def rasterize_buffers(vertices: jnp.ndarray, triangles: jnp.ndarray,
+                      colors: jnp.ndarray, *, h: int, w: int,
+                      win_h: int = 4, win_w: int = 4
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Resolve the z-buffer: (depth (h, w) f32 init -1e8, color (h, w, 3)).
+
+    ``win_h``/``win_w`` bound the rasterized extent of a single triangle
+    (its clamped bbox is anchored top-left); pick them >= the largest
+    triangle bbox at your render scale (see :func:`window_for`).
+    """
+    t = triangles.shape[0]
+    pix, depth, rgb, _ = _fragment_windows(
+        vertices, triangles, colors, h, w, win_h, win_w)
+
+    # Tie-break: earlier triangle wins at equal depth (the reference's
+    # strictly-greater test keeps the first writer).
+    tri_id = jnp.repeat(jnp.arange(t, dtype=jnp.int32), win_h * win_w)
+    pix_s, negd_s, _, r_s, g_s, b_s, d_s = jax.lax.sort(
+        (pix, -depth, tri_id, rgb[:, 0], rgb[:, 1], rgb[:, 2], depth),
+        num_keys=3)
+
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]])
+    idx = jnp.where(first, pix_s, h * w)[:, None]
+
+    def put(init, vals):
+        # Real (first-of-segment) indices are unique; masked-out fragments
+        # point at the OOB sentinel h*w and are dropped. Note indices are NOT
+        # sorted once losers are replaced by the sentinel.
+        return init.at[idx[:, 0]].set(vals, mode="drop")
+
+    zbuf = put(jnp.full((h * w,), DEPTH_INIT, jnp.float32), d_s)
+    color = jnp.stack([
+        put(jnp.zeros((h * w,), jnp.float32), r_s),
+        put(jnp.zeros((h * w,), jnp.float32), g_s),
+        put(jnp.zeros((h * w,), jnp.float32), b_s),
+    ], axis=-1)
+    return zbuf.reshape(h, w), color.reshape(h, w, 3)
+
+
+@partial(jax.jit, static_argnames=("reverse",))
+def blend_uint8(bg_u8: jnp.ndarray, zbuf: jnp.ndarray, color: jnp.ndarray,
+                alpha: float, reverse: bool = False) -> jnp.ndarray:
+    """uint8 truncation blend of resolved color into the background
+    (reference rasterize_kernel.cpp:268-282)."""
+    mask = (zbuf > DEPTH_INIT)[..., None]
+    blended = ((1.0 - alpha) * bg_u8.astype(jnp.float32)
+               + alpha * 255.0 * color)
+    out = jnp.where(mask, blended.astype(jnp.uint8), bg_u8)
+    if reverse:
+        out = out[::-1]
+    return out
+
+
+def window_for(vertices: np.ndarray, triangles: np.ndarray,
+               cap: int = 32) -> Tuple[int, int]:
+    """Smallest power-of-two window covering every triangle bbox (+1 for the
+    inclusive ceil-bounded scan), capped to keep fragment count bounded."""
+    v = np.asarray(vertices)
+    tr = np.asarray(triangles)
+    xs = v[:, 0][tr]
+    ys = v[:, 1][tr]
+    wmax = int(np.ceil(xs.max(1) - np.floor(xs.min(1))).max()) + 1
+    hmax = int(np.ceil(ys.max(1) - np.floor(ys.min(1))).max()) + 1
+
+    def pot(n):
+        p = 1
+        while p < n:
+            p *= 2
+        return p
+    return min(pot(hmax), cap), min(pot(wmax), cap)
+
+
+def rasterize(vertices, triangles, colors, bg=None, height=None, width=None,
+              channel=None, reverse: bool = False, alpha: float = 1.0,
+              window: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """Reference-compatible host API (Sim3DR/Sim3DR.py:15-29): vertices
+    (V, 3) f32 image-space, triangles (T, 3) int32, colors (V, 3) in [0, 1],
+    optional uint8 background -> uint8 image."""
+    if bg is not None:
+        height, width, channel = bg.shape
+        bg = np.asarray(bg, np.uint8)
+    else:
+        assert height is not None and width is not None
+        bg = np.zeros((height, width, channel or 3), np.uint8)
+    if window is None:
+        window = window_for(vertices, triangles)
+    zbuf, color = rasterize_buffers(
+        jnp.asarray(vertices, jnp.float32),
+        jnp.asarray(triangles, jnp.int32),
+        jnp.asarray(colors, jnp.float32),
+        h=height, w=width, win_h=window[0], win_w=window[1])
+    out = blend_uint8(jnp.asarray(bg), zbuf, color, float(alpha),
+                      reverse=reverse)
+    return np.asarray(out)

@@ -89,3 +89,75 @@ def oracle_param_loss(inp, target, mode="normal"):
     else:  # only_3dmm — including the reference's slice asymmetry (quirk Q3)
         loss = ((inp[:, :50] - target[:, 12:62]) ** 2).mean(1)
     return np.sqrt(loss)
+
+
+# ---------------------------------------------------------------------------
+# Rendering oracles (reference Sim3DR/lib/rasterize_kernel.cpp)
+
+
+def _bary(px, py, p0, p1, p2):
+    """Barycentric (u, v) with the reference's degenerate convention
+    (rasterize_kernel.cpp:26-83)."""
+    v0 = p2[:2] - p0[:2]
+    v1 = p1[:2] - p0[:2]
+    v2 = np.array([px, py], np.float32) - p0[:2]
+    dot00 = v0 @ v0
+    dot01 = v0 @ v1
+    dot02 = v0 @ v2
+    dot11 = v1 @ v1
+    dot12 = v1 @ v2
+    den = dot00 * dot11 - dot01 * dot01
+    inv = 0.0 if den == 0 else 1.0 / den
+    u = (dot11 * dot02 - dot01 * dot12) * inv
+    v = (dot00 * dot12 - dot01 * dot02) * inv
+    return u, v
+
+
+def oracle_rasterize(image_u8, vertices, triangles, colors, alpha=1.0,
+                     reverse=False):
+    """Faithful sequential z-buffer rasterizer (rasterize_kernel.cpp:219-287)
+    including its order-dependent repeated blending. Mutates & returns a copy
+    of ``image_u8``; also returns the final depth buffer."""
+    import math
+
+    img = image_u8.copy()
+    h, w, c = img.shape
+    depth_buffer = np.full((h, w), -1e8, np.float32)
+    for i in range(triangles.shape[0]):
+        i0, i1, i2 = triangles[i]
+        p0, p1, p2 = vertices[i0], vertices[i1], vertices[i2]
+        x_min = max(int(math.floor(min(p0[0], p1[0], p2[0]))), 0)
+        x_max = min(int(math.ceil(max(p0[0], p1[0], p2[0]))), w - 1)
+        y_min = max(int(math.floor(min(p0[1], p1[1], p2[1]))), 0)
+        y_max = min(int(math.ceil(max(p0[1], p1[1], p2[1]))), h - 1)
+        if x_max < x_min or y_max < y_min:
+            continue
+        for y in range(y_min, y_max + 1):
+            for x in range(x_min, x_max + 1):
+                u, v = _bary(x, y, p0, p1, p2)
+                if not (u >= 0 and v >= 0 and u + v < 1):
+                    continue
+                w0, w1, w2 = 1 - u - v, v, u
+                p_depth = w0 * p0[2] + w1 * p1[2] + w2 * p2[2]
+                if p_depth > depth_buffer[y, x]:
+                    yy = h - 1 - y if reverse else y
+                    for k in range(c):
+                        p_color = (w0 * colors[i0, k] + w1 * colors[i1, k]
+                                   + w2 * colors[i2, k])
+                        img[yy, x, k] = np.uint8(int(
+                            (1 - alpha) * img[yy, x, k]
+                            + alpha * 255.0 * p_color))
+                    depth_buffer[y, x] = p_depth
+    return img, depth_buffer
+
+
+def oracle_get_normal(vertices, triangles):
+    """Fused vertex normal (rasterize_kernel.cpp:158-215, unguarded)."""
+    tri_n = np.cross(vertices[triangles[:, 1]] - vertices[triangles[:, 0]],
+                     vertices[triangles[:, 2]] - vertices[triangles[:, 0]])
+    acc = np.zeros_like(vertices, np.float32)
+    for i in range(triangles.shape[0]):
+        for k in triangles[i]:
+            acc[k] += tri_n[i]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return acc / np.sqrt((acc ** 2).sum(1))[:, None]

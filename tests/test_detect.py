@@ -1,0 +1,160 @@
+"""Detection stack tests: anchors vs loop oracle, NMS vs sequential greedy
+oracle, net shape contract, end-to-end detector on synthetic weights."""
+
+import math
+from itertools import product
+
+import numpy as np
+import pytest
+
+from synergynet_tpu.detect import (
+    FaceBoxesNet, generate_anchors, num_anchors, greedy_nms_mask,
+    nms_indices, pairwise_iou,
+)
+from synergynet_tpu.detect.anchors import STEPS, MIN_SIZES, _DENSE_OFFSETS
+
+
+def anchors_loop_oracle(img_h, img_w):
+    """Literal re-derivation of the reference PriorBox nested loops
+    (reference FaceBoxes/utils/prior_box.py:20-48)."""
+    anchors = []
+    fms = [(math.ceil(img_h / s), math.ceil(img_w / s)) for s in STEPS]
+    for k, (fh, fw) in enumerate(fms):
+        for i, j in product(range(fh), range(fw)):
+            for ms in MIN_SIZES[k]:
+                s_kx, s_ky = ms / img_w, ms / img_h
+                offs = _DENSE_OFFSETS.get(ms)
+                if offs is not None:
+                    cxs = [(j + o) * STEPS[k] / img_w for o in offs]
+                    cys = [(i + o) * STEPS[k] / img_h for o in offs]
+                    for cy, cx in product(cys, cxs):
+                        anchors.append([cx, cy, s_kx, s_ky])
+                else:
+                    cx = (j + 0.5) * STEPS[k] / img_w
+                    cy = (i + 0.5) * STEPS[k] / img_h
+                    anchors.append([cx, cy, s_kx, s_ky])
+    return np.asarray(anchors, np.float32)
+
+
+def nms_greedy_oracle(boxes, thresh):
+    """Sequential greedy NMS keep-mask on score-sorted boxes (reference
+    FaceBoxes/utils/nms/cpu_nms.pyx:17-67 semantics, +1 inclusive areas)."""
+    n = len(boxes)
+    x1, y1, x2, y2 = boxes.T
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    keep = np.ones(n, bool)
+    for i in range(n):
+        if not keep[i]:
+            continue
+        for j in range(i + 1, n):
+            if not keep[j]:
+                continue
+            xx1, yy1 = max(x1[i], x1[j]), max(y1[i], y1[j])
+            xx2, yy2 = min(x2[i], x2[j]), min(y2[i], y2[j])
+            w = max(0.0, xx2 - xx1 + 1)
+            h = max(0.0, yy2 - yy1 + 1)
+            inter = w * h
+            if inter / (areas[i] + areas[j] - inter) >= thresh:
+                keep[j] = False
+    return keep
+
+
+class TestAnchors:
+    @pytest.mark.parametrize("hw", [(720, 1088), (256, 320), (100, 130)])
+    def test_matches_loop_oracle(self, hw):
+        got = generate_anchors(*hw)
+        want = anchors_loop_oracle(*hw)
+        assert got.shape == want.shape == (num_anchors(*hw), 4)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+    def test_cell_layout(self):
+        a = generate_anchors(256, 256)
+        # first cell of map 1: 16 dense 32-px + 4 dense 64-px + 1 128-px
+        assert np.allclose(a[:16, 2] * 256, 32)
+        assert np.allclose(a[16:20, 2] * 256, 64)
+        assert np.allclose(a[20, 2] * 256, 128)
+
+
+class TestNMS:
+    def test_matches_sequential_oracle(self, rng):
+        import jax.numpy as jnp
+        for trial in range(5):
+            n = 200
+            xy = rng.uniform(0, 200, (n, 2))
+            wh = rng.uniform(5, 80, (n, 2))
+            boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+            scores = np.sort(rng.uniform(0, 1, n))[::-1].astype(np.float32)
+            want = nms_greedy_oracle(boxes, 0.3)
+            got = np.asarray(greedy_nms_mask(
+                jnp.asarray(boxes), jnp.ones(n, bool), 0.3))
+            np.testing.assert_array_equal(got, want)
+
+    def test_padding_never_kept_or_suppresses(self, rng):
+        import jax.numpy as jnp
+        boxes = np.asarray([[0, 0, 10, 10], [0, 0, 10, 10], [50, 50, 60, 60]],
+                           np.float32)
+        valid = jnp.asarray([True, False, True])
+        keep = np.asarray(greedy_nms_mask(jnp.asarray(boxes), valid, 0.3))
+        assert keep.tolist() == [True, False, True]
+
+    def test_host_api_order(self, rng):
+        dets = np.asarray([
+            [0, 0, 10, 10, 0.9],
+            [1, 1, 11, 11, 0.8],     # suppressed by first
+            [50, 50, 60, 60, 0.95],
+        ], np.float32)
+        assert nms_indices(dets, 0.3) == [2, 0]
+
+    def test_iou_inclusive_areas(self):
+        import jax.numpy as jnp
+        b = jnp.asarray([[0.0, 0.0, 9.0, 9.0]])
+        assert float(pairwise_iou(b)[0, 0]) == pytest.approx(1.0)
+
+
+class TestNet:
+    def test_output_matches_anchor_count(self):
+        import jax
+        import jax.numpy as jnp
+        h, w = 128, 256
+        net = FaceBoxesNet()
+        variables = net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, h, w, 3)), train=False)
+        loc, conf = net.apply(variables, jnp.zeros((2, h, w, 3)), train=False)
+        a = num_anchors(h, w)
+        assert loc.shape == (2, a, 4)
+        assert conf.shape == (2, a, 2)
+
+
+class TestDetector:
+    def test_end_to_end_synthetic(self):
+        from synergynet_tpu.detect.torch_import import random_init_variables
+        from synergynet_tpu.detect.detector import FaceBoxes
+        det = FaceBoxes(variables=random_init_variables())
+        img = np.random.default_rng(0).integers(
+            0, 255, (480, 640, 3), np.uint8)
+        out = det(img)
+        assert isinstance(out, list)
+        for b in out:
+            assert len(b) == 5 and b[4] > 0.5
+
+    def test_torch_import_tree_matches(self):
+        import jax
+        from synergynet_tpu.detect.torch_import import (
+            _default_torch_path, convert_torch_state_dict,
+            random_init_variables)
+        path = _default_torch_path()
+        if path is None:
+            pytest.skip("no FaceBoxes torch checkpoint available")
+        import torch
+        sd = torch.load(path, map_location="cpu")
+        got = convert_torch_state_dict(sd)
+        want = random_init_variables()
+        flat_got = {"/".join(map(str, k)): v.shape for k, v in
+                    jax.tree_util.tree_flatten_with_path(got)[0]}
+        flat_want = {"/".join(map(str, k)): v.shape for k, v in
+                     jax.tree_util.tree_flatten_with_path(want)[0]}
+        got_keys = {k for k in flat_got}
+        want_keys = {k for k in flat_want}
+        assert got_keys == want_keys
+        for k in want_keys:
+            assert flat_got[k] == flat_want[k], k
