@@ -1,0 +1,11 @@
+"""Data pipeline: datasets, augmentations, prefetching loader, synthetic."""
+
+from synergynet_tpu.data.datasets import FileListDataset, ArrayDataset  # noqa: F401
+from synergynet_tpu.data.transforms import (  # noqa: F401
+    ColorJitter, BorderOcclusion, TrainTransform, TestTransform,
+    normalize_images,
+)
+from synergynet_tpu.data.loader import PrefetchLoader, shard_batches  # noqa: F401
+from synergynet_tpu.data.synthetic import (  # noqa: F401
+    make_crops_with_params, make_synthetic_aflw2000, sample_params,
+)

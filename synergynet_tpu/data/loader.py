@@ -1,0 +1,104 @@
+"""Prefetching batch loader: threaded decode/augment + device staging.
+
+Replaces the reference's ``torch.utils.data.DataLoader(bs=1024, workers=8,
+pin_memory=True)`` (reference main_train.py:207-209). Design:
+
+- A thread pool decodes/augments samples (cv2 JPEG decode and the numpy
+  color math release the GIL in their C loops) and assembles fixed-shape
+  uint8 batches.
+- A small prefetch queue keeps ``prefetch`` batches in flight so host data
+  work overlaps device compute — the TPU analogue of pinned-memory workers.
+- Batches stay uint8 until the device program normalizes them: 4x less
+  host->HBM traffic than shipping f32.
+- Each epoch derives per-sample RNGs from (seed, epoch, index) so results
+  are reproducible regardless of thread scheduling.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class PrefetchLoader:
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 8,
+                 prefetch: int = 2, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else \
+            (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _fetch(self, index: int) -> Tuple:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, index]))
+        item = self.dataset.__getitem__(index, rng=rng)
+        return item if isinstance(item, tuple) else (item,)
+
+    def __iter__(self) -> Iterator:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch])).shuffle(order)
+        nb = len(self)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    samples = list(pool.map(self._fetch, idx))
+                    parts = tuple(np.stack([s[i] for s in samples])
+                                  for i in range(len(samples[0])))
+                    out_q.put(parts if len(parts) > 1 else parts[0])
+            out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+            # Drain so the producer can exit if we stopped early.
+            while t.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+def shard_batches(loader, mesh=None):
+    """Wrap a loader to device_put each batch sharded over the data axis."""
+    from synergynet_tpu.core import mesh as meshlib
+
+    def gen():
+        for batch in loader:
+            if mesh is None:
+                yield batch
+            else:
+                yield meshlib.shard_batch(mesh, batch)
+    return gen()

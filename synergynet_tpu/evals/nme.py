@@ -62,9 +62,12 @@ def analyze_by_yaw(nme_list: np.ndarray, yaws: np.ndarray) -> Dict:
         mean = float(np.mean(vals) * 100) if vals.size else float("nan")
         std = float(np.std(vals) * 100) if vals.size else float("nan")
         out[name] = {"mean": mean, "std": std, "count": int(vals.size)}
-        means.append(mean)
-    out["mean_of_means"] = float(np.mean(means))
-    out["std_of_means"] = float(np.std(means))
+        if vals.size:
+            means.append(mean)
+    # Empty bins are excluded from the headline (real AFLW2000 populates all
+    # three; small/synthetic sets may not).
+    out["mean_of_means"] = float(np.mean(means)) if means else float("nan")
+    out["std_of_means"] = float(np.std(means)) if means else float("nan")
     return out
 
 

@@ -1,0 +1,154 @@
+"""Packaged inference API: image -> (landmarks, dense meshes, poses).
+
+The TPU-native equivalent of the reference's pip-packaged
+``synergy3DMM.SynergyNet.get_all_outputs`` (reference synergy3DMM.py:
+167-207), with the per-face serial CPU loop re-designed as one batched
+device program:
+
+reference                               this framework
+---------                               --------------
+FaceBoxes() rebuilt per call (Q8)       detector constructed once
+per-face: crop -> resize -> tensor      host crops all faces, stacks to a
+  -> forward -> numpy decode              padded batch bucket
+4 decode copies, numpy per face         ONE jitted program: normalize ->
+                                          backbone -> 62 params -> 68-lmk +
+                                          dense decode + pose + roi rescale
+                                          for every face at once
+
+Crop semantics are preserved exactly: square rois from the y-extent with
+1.2 margin (synergy3DMM.py:181-185), zero-padded crop
+(utils/inference.py:95-125), LANCZOS4 resize to 120x120, (x - 127.5)/128
+normalization of BGR pixels. Batch sizes are padded to power-of-two buckets
+so only a handful of programs are ever compiled.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from synergynet_tpu.mm3d import (
+    ParamPack, load_param_pack, decode_landmarks, decode_dense,
+    pose_from_param, rescale_to_roi,
+)
+from synergynet_tpu.mm3d.crop import square_box, crop_img
+from synergynet_tpu.mm3d.pose import rescale_pose_to_roi
+from synergynet_tpu.nn import SynergyNet, init_synergy_variables
+
+MAX_FACES_PER_BATCH = 16
+
+
+def _bucket(n: int, cap: int = MAX_FACES_PER_BATCH) -> int:
+    b = 1
+    while b < min(n, cap):
+        b *= 2
+    return b
+
+
+def preprocess_crops(img_bgr: np.ndarray, roi_boxes: Sequence[np.ndarray],
+                     interpolation: str = "lanczos4") -> np.ndarray:
+    """Crop + resize every roi to a (N, 120, 120, 3) uint8 stack.
+
+    ``interpolation``: 'lanczos4' (packaged API, synergy3DMM.py:188) or
+    'linear' (demo script, singleImage.py:77 — quirk Q7).
+    """
+    import cv2
+    flag = {"lanczos4": cv2.INTER_LANCZOS4,
+            "linear": cv2.INTER_LINEAR}[interpolation]
+    crops = [cv2.resize(crop_img(img_bgr, rb), dsize=(120, 120),
+                        interpolation=flag) for rb in roi_boxes]
+    return np.stack(crops).astype(np.uint8)
+
+
+class SynergyNet3DMM:
+    """Construct once; call :meth:`get_all_outputs` per image.
+
+    ``variables`` may come from training, a checkpoint, or (default)
+    deterministic random init so the pipeline runs without the reference's
+    unreleased pretrained weights.
+    """
+
+    def __init__(self, arch: str = "mobilenet_v2",
+                 variables: Optional[dict] = None,
+                 pack: Optional[ParamPack] = None,
+                 detector=None,
+                 dtype: jnp.dtype = jnp.float32,
+                 seed: int = 0):
+        self.pack = pack if pack is not None else load_param_pack()
+        self.model = SynergyNet(arch=arch, dtype=dtype)
+        if variables is None:
+            variables = init_synergy_variables(
+                self.model, jax.random.PRNGKey(seed))
+        self.variables = variables
+        self._detector = detector
+        self._program = self._build_program()
+
+    @property
+    def detector(self):
+        if self._detector is None:
+            from synergynet_tpu.detect import FaceBoxes
+            self._detector = FaceBoxes()
+        return self._detector
+
+    def _build_program(self):
+        model, pack = self.model, self.pack
+
+        @jax.jit
+        def program(variables, crops_u8, roi_boxes):
+            """(N,120,120,3) uint8 BGR + (N,4) rois -> all outputs in
+            original-image coordinates."""
+            x = (crops_u8.astype(jnp.float32) - 127.5) / 128.0
+            param62, _ = model.apply(variables, x, train=False)
+            param62 = param62.astype(jnp.float32)
+            lmk = rescale_to_roi(decode_landmarks(param62, pack), roi_boxes)
+            dense = rescale_to_roi(decode_dense(param62, pack), roi_boxes)
+            angles, t3d = pose_from_param(param62, pack)
+            t3d = rescale_pose_to_roi(t3d, roi_boxes)
+            return param62, lmk, dense, angles, t3d
+
+        return program
+
+    def process_crops(self, crops_u8: np.ndarray, roi_boxes: np.ndarray):
+        """Batched core: returns (param62, lmk, dense, angles, t3d) numpy
+        arrays, leading dim = number of faces. Pads to a bucket internally."""
+        n = crops_u8.shape[0]
+        b = _bucket(max(n, 1))
+        out = []
+        for start in range(0, n, b):
+            chunk = slice(start, min(start + b, n))
+            cc = crops_u8[chunk]
+            rr = np.asarray(roi_boxes[chunk], np.float32)[:, :4]
+            pad = b - cc.shape[0]
+            if pad:
+                cc = np.concatenate([cc, np.zeros((pad,) + cc.shape[1:],
+                                                  cc.dtype)])
+                rr = np.concatenate([rr, np.tile([[0, 0, 120, 120]],
+                                                 (pad, 1)).astype(np.float32)])
+            keep = b - pad
+            res = self._program(self.variables, jnp.asarray(cc),
+                                jnp.asarray(rr))
+            out.append([np.asarray(r)[:keep] for r in res])
+        return [np.concatenate(parts) for parts in zip(*out)]
+
+    def get_all_outputs(self, img_bgr: np.ndarray,
+                        rects: Optional[Sequence] = None,
+                        interpolation: str = "lanczos4"
+                        ) -> Tuple[List, List, List]:
+        """Reference-compatible: (pts_res, vertices_lst, poses) where each
+        element i is ((3,68) landmarks, (3,53215) vertices,
+        [angles (3,), t3d (3,)]) for face i, in original-image coordinates."""
+        if rects is None:
+            rects = self.detector(img_bgr)
+        if len(rects) == 0:
+            return [], [], []
+        roi_boxes = np.stack([square_box(r) for r in rects])
+        crops = preprocess_crops(img_bgr, roi_boxes, interpolation)
+        _, lmk, dense, angles, t3d = self.process_crops(crops, roi_boxes)
+        pts_res = [lmk[i] for i in range(len(rects))]
+        vertices_lst = [dense[i] for i in range(len(rects))]
+        poses = [[angles[i], t3d[i]] for i in range(len(rects))]
+        return pts_res, vertices_lst, poses

@@ -1,0 +1,145 @@
+"""Data pipeline + eval harness tests: transform semantics, loader
+determinism, benchmark protocol (oracle params -> ~zero NME/MAE)."""
+
+import numpy as np
+import pytest
+
+from synergynet_tpu.data import TestTransform as EvalTransform
+from synergynet_tpu.data import (
+    ColorJitter, BorderOcclusion, TrainTransform,
+    ArrayDataset, PrefetchLoader, make_crops_with_params,
+    make_synthetic_aflw2000,
+)
+from synergynet_tpu.data.transforms import (
+    adjust_brightness, adjust_contrast, adjust_saturation,
+)
+
+
+class TestTransforms:
+    def test_brightness_matches_pil(self):
+        from PIL import Image, ImageEnhance
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (16, 16, 3), np.uint8)
+        for f in (0.6, 1.0, 1.4):
+            want = np.array(ImageEnhance.Brightness(
+                Image.fromarray(img)).enhance(f))
+            got = adjust_brightness(img, f)
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    def test_contrast_matches_pil(self):
+        from PIL import Image, ImageEnhance
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, (16, 16, 3), np.uint8)
+        for f in (0.6, 1.4):
+            want = np.array(ImageEnhance.Contrast(
+                Image.fromarray(img)).enhance(f))
+            got = adjust_contrast(img, f)
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    def test_saturation_matches_pil(self):
+        from PIL import Image, ImageEnhance
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 255, (16, 16, 3), np.uint8)
+        for f in (0.6, 1.4):
+            want = np.array(ImageEnhance.Color(
+                Image.fromarray(img)).enhance(f))
+            got = adjust_saturation(img, f)
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    def test_border_zeroing(self):
+        img = np.full((120, 120, 3), 200, np.uint8)
+        out = BorderOcclusion(5, prob=0.0)(img)
+        assert (out[:5] == 0).all() and (out[-5:] == 0).all()
+        assert (out[:, :5] == 0).all() and (out[:, -5:] == 0).all()
+        assert (out[5:-5, 5:-5] == 200).all()
+
+    def test_occlusion_patterns(self):
+        img = np.full((20, 20, 3), 100, np.uint8)
+        for name in BorderOcclusion.PATTERNS:
+            out = BorderOcclusion._apply_pattern(img, name)
+            assert out.shape == img.shape
+            assert 0 < (out > 0).mean() < 1
+        # quirk Q2: rdown keeps the TOP-LEFT quadrant like lup
+        np.testing.assert_array_equal(
+            BorderOcclusion._apply_pattern(img, "rdown"),
+            BorderOcclusion._apply_pattern(img, "lup"))
+
+    def test_jitter_deterministic_given_rng(self):
+        img = np.random.default_rng(0).integers(0, 255, (20, 20, 3), np.uint8)
+        j = ColorJitter()
+        a = j(img, np.random.default_rng(42))
+        b = j(img, np.random.default_rng(42))
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, img)
+
+
+class TestLoader:
+    def _ds(self, n=37):
+        rng = np.random.default_rng(0)
+        return ArrayDataset(
+            rng.integers(0, 255, (n, 8, 8, 3), np.uint8),
+            rng.normal(0, 1, (n, 70)).astype(np.float32))
+
+    def test_shapes_and_truncation(self):
+        loader = PrefetchLoader(self._ds(), batch_size=8, num_workers=2)
+        imgs, params = next(iter(loader))
+        assert imgs.shape == (8, 8, 8, 3)
+        assert params.shape == (8, 62)   # 70-d truncated to 62
+
+    def test_drop_last_and_len(self):
+        loader = PrefetchLoader(self._ds(37), batch_size=8)
+        assert len(loader) == 4
+        assert sum(1 for _ in loader) == 4
+
+    def test_epoch_reproducible(self):
+        l1 = PrefetchLoader(self._ds(), batch_size=8, seed=7)
+        l2 = PrefetchLoader(self._ds(), batch_size=8, seed=7)
+        a = next(iter(l1))[0]
+        b = next(iter(l2))[0]
+        np.testing.assert_array_equal(a, b)
+        l2.set_epoch(1)
+        c = next(iter(l2))[0]
+        assert not np.array_equal(a, c)
+
+
+class TestSynthetic:
+    def test_crops_have_landmark_signal(self, pack):
+        d = make_crops_with_params(4, pack, seed=0)
+        assert d["images"].shape == (4, 120, 120, 3)
+        lmk = d["landmarks"][0]
+        x = int(np.clip(round(lmk[0, 0]), 0, 118))
+        y = int(np.clip(round(lmk[1, 0]), 0, 118))
+        assert d["images"][0, y, x, 0] == 255
+
+
+class TestBenchmark:
+    def test_oracle_params_near_zero_error(self, pack):
+        """Feeding ground-truth params through the harness must give ~0 NME
+        and ~0 pose MAE — validates the whole protocol chain."""
+        from synergynet_tpu.evals import benchmark_params
+        ep = make_synthetic_aflw2000(32, pack, seed=3)
+        r = benchmark_params(ep["params"], ep, pack)
+        assert r["nme_mean"] < 1e-4                       # percent units
+        assert r["foe"]["mae_mean"] < 1e-4
+        assert "Facial Alignment" in r["report"]
+        assert "Mean MAE" in r["report"]
+
+    def test_perturbed_params_worse(self, pack):
+        from synergynet_tpu.evals import benchmark_params
+        ep = make_synthetic_aflw2000(16, pack, seed=4)
+        noisy = ep["params"] + np.random.default_rng(0).normal(
+            0, 0.1, ep["params"].shape).astype(np.float32)
+        r = benchmark_params(noisy, ep, pack)
+        assert r["nme_mean"] > 0.01
+
+    def test_pipeline_with_model(self, pack):
+        from synergynet_tpu.evals import benchmark_pipeline
+        from synergynet_tpu.nn import SynergyNet, init_synergy_variables
+        import jax
+        model = SynergyNet()
+        variables = init_synergy_variables(model, jax.random.PRNGKey(0))
+        ep = make_synthetic_aflw2000(8, pack, seed=5)
+        r = benchmark_pipeline(model, variables, ep, pack, batch=8,
+                               transform=EvalTransform())
+        assert np.isfinite(r["nme_mean"])
+        assert np.isfinite(r["foe"]["mae_mean"])

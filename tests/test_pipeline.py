@@ -1,0 +1,107 @@
+"""Pipeline tests: crop semantics vs reference rules, batched API, obj
+writers, UV mapper, drawing smoke tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from synergynet_tpu.mm3d.crop import square_box, crop_img
+from synergynet_tpu.pipeline import (
+    SynergyNet3DMM, preprocess_crops, write_obj, write_obj_with_colors,
+    UVTextureMapper, draw_axis, viz_bbox,
+)
+
+
+class TestCrop:
+    def test_square_box_reference_rule(self):
+        rect = [10.0, 20.0, 110.0, 140.0, 0.9]
+        rb = square_box(rect)
+        # side from y-extent: 120 * 1.2 // 2 = 72
+        assert rb.tolist() == [60 - 72, 80 - 72, 60 + 72, 80 + 72]
+
+    def test_crop_img_zero_pads(self):
+        img = np.arange(100, dtype=np.uint8).reshape(10, 10)
+        img3 = np.stack([img] * 3, -1)
+        out = crop_img(img3, [-2, -2, 5, 5])
+        assert out.shape == (7, 7, 3)
+        assert (out[:2] == 0).all() and (out[:, :2] == 0).all()
+        np.testing.assert_array_equal(out[2:, 2:, 0], img[:5, :5])
+
+    def test_preprocess_stack_shape(self):
+        img = np.random.default_rng(0).integers(
+            0, 255, (200, 300, 3), np.uint8)
+        rois = [np.array([10, 10, 80, 80]), np.array([50, 40, 180, 170])]
+        crops = preprocess_crops(img, rois)
+        assert crops.shape == (2, 120, 120, 3) and crops.dtype == np.uint8
+
+
+class TestAPI:
+    @pytest.fixture(scope="class")
+    def api(self, request):
+        return SynergyNet3DMM()
+
+    def test_get_all_outputs_with_rects(self, api):
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, (240, 320, 3), np.uint8)
+        rects = [[40.0, 50.0, 140.0, 160.0, 0.99],
+                 [160.0, 60.0, 240.0, 150.0, 0.90]]
+        pts, verts, poses = api.get_all_outputs(img, rects=rects)
+        assert len(pts) == len(verts) == len(poses) == 2
+        assert pts[0].shape == (3, 68)
+        assert verts[0].shape[0] == 3 and verts[0].shape[1] > 50000
+        angles, t3d = poses[0]
+        assert angles.shape == (3,) and t3d.shape == (3,)
+        # landmarks land inside (a margin of) the roi box
+        rb = square_box(rects[0])
+        assert pts[0][0].min() > rb[0] - 60 and pts[0][0].max() < rb[2] + 60
+
+    def test_empty_rects(self, api):
+        img = np.zeros((100, 100, 3), np.uint8)
+        assert api.get_all_outputs(img, rects=[]) == ([], [], [])
+
+    def test_bucket_padding_consistent(self, api):
+        """3 faces (padded to bucket 4) must equal the same faces run alone."""
+        rng = np.random.default_rng(2)
+        crops = rng.integers(0, 255, (3, 120, 120, 3), np.uint8)
+        rois = np.asarray([[0, 0, 120, 120]] * 3, np.float32)
+        full = api.process_crops(crops, rois)
+        single = api.process_crops(crops[1:2], rois[1:2])
+        np.testing.assert_allclose(full[1][1], single[1][0], atol=2e-4)
+
+
+class TestOutputs:
+    def test_write_obj_roundtrip(self, tmp_path):
+        v = np.random.default_rng(0).normal(0, 1, (3, 5)).astype(np.float32)
+        t = np.array([[1, 2], [2, 3], [3, 4]], np.int32)
+        p = write_obj(str(tmp_path / "mesh"), v, t)
+        lines = open(p).read().strip().splitlines()
+        assert len(lines) == 7
+        assert lines[0].startswith("v ")
+        assert lines[-2] == "f 3 2 1" and lines[-1] == "f 4 3 2"
+
+    def test_write_obj_with_colors(self, tmp_path):
+        v = np.zeros((3, 4), np.float32)
+        t = np.array([[1], [2], [3]], np.int32)
+        c = np.full((4, 3), 128, np.uint8)
+        p = write_obj_with_colors(str(tmp_path / "m.obj"), v, t, c)
+        lines = open(p).read().strip().splitlines()
+        assert lines[0].count(" ") == 6 and lines[-1] == "f 1 2 3"
+
+    def test_uv_mapper_lookup_and_trim(self):
+        m = UVTextureMapper.synthetic(nver=500)
+        tex = np.random.default_rng(0).integers(
+            0, 255, (256, 256, 3), np.uint8)
+        colors = m.colors_from_texture(tex)
+        assert colors.shape == (500, 3)
+        assert (m.coord_u >= 0).all() and (m.coord_u <= 255).all()
+
+
+class TestDraw:
+    def test_draw_axis_and_bbox(self):
+        img = np.zeros((100, 100, 3), np.uint8)
+        pts = np.random.default_rng(0).uniform(20, 80, (3, 68))
+        out = draw_axis(img.copy(), 10.0, -5.0, 3.0, pts)
+        assert out.sum() > 0
+        out2 = viz_bbox(img.copy(), [[10, 10, 60, 60, 0.9]])
+        assert out2.sum() > 0
