@@ -1,0 +1,55 @@
+"""Standalone benchmark CLI — the ``benchmark.py`` equivalent.
+
+Runs the AFLW2000-3D protocol (NME by yaw bin + FOE MAE, reference
+benchmark.py:218-239) from a checkpoint. With the real ``aflw2000_data``
+absent it evaluates on the synthetic protocol pack so the full harness
+stays exercisable; pass ``--aflw2000-npz`` with keys
+images/pts68_gt/roi_boxes/yaws/pose_gt_pyr/skip_indices for real data.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="SynergyNet-TPU evaluation")
+    p.add_argument("-w", "--weights", default=None,
+                   help=".npz (framework) or .pth.tar (reference) checkpoint")
+    p.add_argument("--arch", default="mobilenet_v2")
+    p.add_argument("--aflw2000-npz", default=None)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--std", type=float, default=128.0,
+                   help="normalization std (reference: 128 standalone)")
+    p.add_argument("-n", "--synthetic-size", type=int, default=512)
+    args = p.parse_args(argv)
+
+    import numpy as np
+    import jax
+    from synergynet_tpu.data import TestTransform
+    from synergynet_tpu.evals import benchmark_pipeline
+    from synergynet_tpu.nn import SynergyNet, init_synergy_variables
+
+    model = SynergyNet(arch=args.arch)
+    if args.weights:
+        from synergynet_tpu.nn.torch_import import load_synergynet_variables
+        variables = load_synergynet_variables(args.weights, arch=args.arch)
+    else:
+        variables = init_synergy_variables(model, jax.random.PRNGKey(0))
+
+    if args.aflw2000_npz:
+        z = np.load(args.aflw2000_npz)
+        eval_pack = {k: z[k] for k in z.files}
+    else:
+        from synergynet_tpu.data import make_synthetic_aflw2000
+        eval_pack = make_synthetic_aflw2000(args.synthetic_size)
+
+    r = benchmark_pipeline(model, variables, eval_pack,
+                           std=args.std, batch=args.batch_size,
+                           transform=TestTransform())
+    print(r["report"])
+    return r
+
+
+if __name__ == "__main__":
+    main()

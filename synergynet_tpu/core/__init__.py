@@ -4,3 +4,10 @@ from synergynet_tpu.core.mesh import (  # noqa: F401
     DATA_AXIS, MODEL_AXIS, make_mesh, batch_sharding, replicated,
     vertex_sharding, shard_batch, replicate,
 )
+from synergynet_tpu.core.config import (  # noqa: F401
+    Config, ModelConfig, TrainConfig, DataConfig, EvalConfig, DetectConfig,
+    RenderConfig,
+)
+from synergynet_tpu.core.checkpoint import (  # noqa: F401
+    save_checkpoint, restore_checkpoint, checkpoint_metadata,
+)

@@ -23,15 +23,19 @@ def add_weighted_u8(a: np.ndarray, wa: float, b: np.ndarray, wb: float
 
 def render_overlay(img_bgr: np.ndarray,
                    vertices_lst: Sequence[np.ndarray],
-                   tri: np.ndarray,
+                   tri: Optional[np.ndarray],
                    alpha: float = 0.6,
                    connectivity: Optional[np.ndarray] = None,
                    pipeline: Optional[RenderPipeline] = None,
+                   texture: Optional[np.ndarray] = None,
                    with_solid: bool = True):
     """Render every face mesh onto ``img_bgr``.
 
     ``vertices_lst``: per-face (3, N) vertices in image coordinates (the
-    decode output layout); ``tri``: (3, T) 0-based triangles. Returns
+    decode output layout); ``tri``: (3, T) 0-based triangles
+    (``connectivity`` overrides it, reference utils/render.py:35-36);
+    ``texture``: optional (N, 3) per-vertex colors in [0, 1], modulated by
+    the lighting like the reference's ``tex`` argument. Returns
     (overlay, solid) — ``overlay`` is the alpha-composited result, ``solid``
     the fully-opaque render layer (the reference writes it as ``_solid.png``).
     """
@@ -42,6 +46,6 @@ def render_overlay(img_bgr: np.ndarray,
     solid = img_bgr.copy()
     for ver in vertices_lst:
         solid = pipeline(np.ascontiguousarray(ver.T, dtype=np.float32),
-                         tris, solid)
+                         tris, solid, texture=texture)
     res = add_weighted_u8(img_bgr, 1 - alpha, solid, alpha)
     return (res, solid) if with_solid else (res, None)

@@ -6,3 +6,6 @@ from synergynet_tpu.train.step import (  # noqa: F401
 )
 from synergynet_tpu.train.schedule import step_decay_lr, lr_per_step  # noqa: F401
 from synergynet_tpu.train.meters import AverageMeter, MeterBank  # noqa: F401
+from synergynet_tpu.train.trainer import (  # noqa: F401
+    Trainer, build_dataset, make_synthetic_eval_hook,
+)

@@ -1,0 +1,179 @@
+"""Training driver: epochs, meters, logging, checkpoints, in-train eval.
+
+The runtime equivalent of the reference's ``main_train.main``/``train``
+(reference main_train.py:103-239) on the SPMD step of
+:mod:`synergynet_tpu.train.step`:
+
+- one jitted train step (loss + grads + psum + SGD/NaN-skip) over a
+  ``(data, model)`` mesh; batches host-sharded onto the data axis;
+- the reference's step-decay schedule with flat damped "warmup"
+  (main_train.py:74-94) driven per-step;
+- ``AverageMeter`` progress logging (main_train.py:106-153);
+- pytree checkpoints every ``save_val_freq`` epochs + final, with resume
+  (main_train.py:187-194,225-236);
+- optional per-epoch AFLW2000-protocol validation hook
+  (benchmark_validate.py:243-266 equivalent).
+
+Without real 300W-LP data the driver falls back to the synthetic
+landmark-painted dataset so a full run exercises every subsystem.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from synergynet_tpu.core import mesh as meshlib
+from synergynet_tpu.core.checkpoint import (restore_checkpoint,
+                                            save_checkpoint,
+                                            checkpoint_metadata)
+from synergynet_tpu.core.config import Config
+from synergynet_tpu.data import (ArrayDataset, FileListDataset,
+                                 PrefetchLoader, TrainTransform,
+                                 make_crops_with_params)
+from synergynet_tpu.mm3d import load_param_pack
+from synergynet_tpu.nn import SynergyNet
+from synergynet_tpu.train.meters import AverageMeter, MeterBank
+from synergynet_tpu.train.schedule import lr_per_step
+from synergynet_tpu.train.step import (create_train_state, jit_train_step,
+                                       make_optimizer)
+
+log = logging.getLogger("synergynet_tpu.train")
+
+
+def build_dataset(cfg: Config):
+    d = cfg.data
+    transform = TrainTransform(d.jitter, d.border, d.occlusion_prob)
+    if d.filelists_train and os.path.exists(d.filelists_train):
+        return FileListDataset(d.root, d.filelists_train, d.param_fp_train,
+                               transform=transform)
+    log.info("no 300W-LP filelist configured; using synthetic dataset "
+             "(%d crops)", d.synthetic_size)
+    syn = make_crops_with_params(d.synthetic_size, seed=cfg.train.seed)
+    return ArrayDataset(syn["images"], syn["params"], transform=transform)
+
+
+class Trainer:
+    def __init__(self, cfg: Optional[Config] = None,
+                 eval_hook: Optional[Callable] = None,
+                 mesh=None):
+        self.cfg = cfg or Config()
+        t = self.cfg.train
+        self.pack = load_param_pack()
+        self.model = SynergyNet(
+            arch=self.cfg.model.arch,
+            dtype=jnp.dtype(self.cfg.model.compute_dtype))
+        self.mesh = mesh if mesh is not None else meshlib.make_mesh()
+        self.dataset = build_dataset(self.cfg)
+        self.loader = PrefetchLoader(
+            self.dataset, t.batch_size, shuffle=True, drop_last=True,
+            num_workers=t.num_workers, seed=t.seed)
+        steps_per_epoch = max(len(self.loader), 1)
+        self.lr_fn = lr_per_step(t.base_lr, t.milestones, t.warmup,
+                                 steps_per_epoch)
+        self.optimizer = make_optimizer(
+            self.lr_fn, momentum=t.momentum, nesterov=t.nesterov,
+            weight_decay=t.weight_decay)
+        self.state = create_train_state(
+            self.model, jax.random.PRNGKey(t.seed), self.optimizer)
+        self.step_fn = jit_train_step(self.model, self.pack, self.optimizer,
+                                      self.mesh)
+        self.state = meshlib.replicate(self.mesh, self.state)
+        self.eval_hook = eval_hook
+        self.start_epoch = 1
+        if t.resume:
+            self.resume(t.resume)
+
+    # -- checkpointing ----------------------------------------------------
+    def ckpt_path(self, epoch: int) -> str:
+        d = self.cfg.train.snapshot_dir
+        return os.path.join(d, f"synergynet_epoch_{epoch}.npz")
+
+    def save(self, epoch: int) -> str:
+        path = self.ckpt_path(epoch)
+        save_checkpoint(path, jax.device_get(self.state),
+                        step=int(self.state.step),
+                        metadata={"epoch": epoch,
+                                  "arch": self.cfg.model.arch})
+        log.info("Save checkpoint to %s", path)
+        return path
+
+    def resume(self, path: str) -> None:
+        template = jax.device_get(self.state)
+        restored = restore_checkpoint(path, template)
+        self.state = meshlib.replicate(self.mesh, restored)
+        meta = checkpoint_metadata(path)
+        self.start_epoch = int(meta.get("epoch", 0)) + 1
+        log.info("Resumed from %s (epoch %d)", path, self.start_epoch - 1)
+
+    # -- loops ------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> MeterBank:
+        t = self.cfg.train
+        self.loader.set_epoch(epoch)
+        bank = MeterBank()
+        data_time = AverageMeter()
+        batch_time = AverageMeter()
+        rng = jax.random.PRNGKey(hash(("epoch", t.seed, epoch)) & 0x7FFFFFFF)
+        end = time.time()
+        for i, (images, params) in enumerate(self.loader):
+            data_time.update(time.time() - end)
+            batch = meshlib.shard_batch(
+                self.mesh, (images, params.astype(np.float32)))
+            self.state, metrics = self.step_fn(self.state, batch[0],
+                                               batch[1], rng)
+            host = {k: float(v) for k, v in metrics.items()}
+            bank.update(host, n=images.shape[0])
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if i % t.print_freq == 0:
+                lr = float(self.lr_fn(int(self.state.step) - 1))
+                log.info("[%d][%d/%d] LR: %.8f Time: %.3f(%.3f) %s",
+                         epoch, i, len(self.loader), lr, batch_time.val,
+                         batch_time.avg, bank.format())
+            if host.get("skipped"):
+                log.warning("[NAN case] skipped step %d",
+                            int(self.state.step))
+        return bank
+
+    def fit(self, epochs: Optional[int] = None) -> dict:
+        t = self.cfg.train
+        epochs = epochs if epochs is not None else t.epochs
+        if t.test_initial and self.eval_hook:
+            log.info("Testing from initial")
+            self.eval_hook(self)
+        history = {}
+        for epoch in range(self.start_epoch, epochs + 1):
+            bank = self.train_epoch(epoch)
+            history[epoch] = bank.averages()
+            if epoch % t.save_val_freq == 0 or epoch == epochs:
+                self.save(epoch)
+                if self.eval_hook:
+                    log.info("Val[%d]", epoch)
+                    history[epoch]["eval"] = self.eval_hook(self)
+        return history
+
+
+def make_synthetic_eval_hook(n: int = 256, seed: int = 11,
+                             std: float = 130.0) -> Callable:
+    """In-train validation on the synthetic AFLW2000 pack (std=130 mirrors
+    the reference's in-training normalization — quirk Q6)."""
+    from synergynet_tpu.data import make_synthetic_aflw2000, TestTransform
+    from synergynet_tpu.evals import benchmark_pipeline
+    ep = make_synthetic_aflw2000(n, seed=seed)
+    tf = TestTransform()
+
+    def hook(trainer: Trainer) -> dict:
+        variables = {"params": jax.device_get(trainer.state.params),
+                     "batch_stats": jax.device_get(trainer.state.batch_stats)}
+        r = benchmark_pipeline(trainer.model, variables, ep, trainer.pack,
+                               std=std, batch=min(128, n), transform=tf)
+        log.info("%s", r["report"])
+        return {"nme_mean": r["nme_mean"], "foe_mae": r["foe"]["mae_mean"]}
+
+    return hook
