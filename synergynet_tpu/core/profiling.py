@@ -1,0 +1,106 @@
+"""Profiling & tracing: device traces, named spans, per-stage timers.
+
+The reference's observability is ad-hoc wall-clock timers
+(reference FaceBoxes/utils/timer.py:13-43, benchmark.py:122-135,
+main_train.py:107-153). Here profiling is a first-class module:
+
+- :func:`trace` / :class:`annotate` wrap ``jax.profiler`` so any region of
+  the pipeline can emit an XLA device trace viewable in TensorBoard/XProf
+  (set a directory, run, open the trace).
+- :class:`StageTimer` measures named stages with host wall clock and
+  correct device synchronization (``block_until_ready`` on exit), the
+  accurate version of the reference's ``Timer``.
+- :func:`measure` benchmarks a compiled callable (compile excluded).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str, create_perfetto_link: bool = False):
+    """Capture a device trace for the enclosed region."""
+    jax.profiler.start_trace(log_dir,
+                             create_perfetto_link=create_perfetto_link)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named span visible in device traces (TraceAnnotation)."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+class StageTimer:
+    """Accumulating per-stage wall timer with device sync.
+
+    >>> t = StageTimer()
+    >>> with t.stage("decode"):
+    ...     out = decode(...)          # device work
+    >>> t.report()
+    """
+
+    def __init__(self, sync: bool = True):
+        self.sync = sync
+        self.totals: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+        self._last_result: Any = None
+
+    @contextlib.contextmanager
+    def stage(self, name: str, result: Any = None):
+        start = time.perf_counter()
+        try:
+            yield self
+        finally:
+            if self.sync and self._last_result is not None:
+                jax.block_until_ready(self._last_result)
+                self._last_result = None
+            dt = time.perf_counter() - start
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def observe(self, result: Any) -> Any:
+        """Register device output so the enclosing stage syncs on it."""
+        self._last_result = result
+        return result
+
+    def averages(self) -> Dict[str, float]:
+        return {k: self.totals[k] / max(self.counts[k], 1)
+                for k in self.totals}
+
+    def report(self) -> str:
+        lines = [f"{k}: total {self.totals[k] * 1e3:.2f} ms over "
+                 f"{self.counts[k]} call(s), avg {v * 1e3:.3f} ms"
+                 for k, v in self.averages().items()]
+        return "\n".join(lines)
+
+
+def measure(fn: Callable, *args, iters: int = 20, warmup: int = 2,
+            **kwargs) -> Dict[str, float]:
+    """Benchmark a jitted callable: seconds/call and calls/sec, compile
+    excluded (warmup runs first)."""
+    out = None
+    for _ in range(max(warmup, 1)):
+        out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return {"sec_per_call": dt, "calls_per_sec": 1.0 / dt}
+
+
+def device_memory_stats(device: Optional[jax.Device] = None
+                        ) -> Dict[str, int]:
+    """Live/peak HBM usage where the backend reports it."""
+    d = device or jax.devices()[0]
+    stats = getattr(d, "memory_stats", lambda: None)()
+    return dict(stats) if stats else {}

@@ -11,3 +11,4 @@ from synergynet_tpu.detect.detector import FaceBoxes  # noqa: F401
 from synergynet_tpu.detect.torch_import import (  # noqa: F401
     load_faceboxes_variables, convert_torch_state_dict,
 )
+from synergynet_tpu.detect.nms import soft_nms  # noqa: F401

@@ -82,3 +82,46 @@ def nms_indices(dets, iou_threshold: float = 0.3):
     valid = jnp.ones((dets.shape[0],), bool)
     keep = np.asarray(greedy_nms_mask(boxes, valid, iou_threshold))
     return [int(i) for i in order[keep]]
+
+
+def soft_nms(dets, sigma: float = 0.5, iou_threshold: float = 0.3,
+             score_threshold: float = 0.001, method: str = "gaussian"):
+    """Soft-NMS (Bodla et al. 2017) — capability parity with the reference's
+    ``cpu_soft_nms`` (FaceBoxes/utils/nms/cpu_nms.pyx:70-163): instead of
+    suppressing overlaps, decay their scores (linear: score *= 1 - IoU when
+    IoU > threshold; gaussian: score *= exp(-IoU^2 / sigma); 'hard' = classic
+    NMS). Vectorized over the remaining set per kept box; returns kept
+    detections (M, 5) in pick order.
+    """
+    import numpy as np
+
+    dets = np.asarray(dets, np.float32).copy()
+    out = []
+    while dets.shape[0]:
+        i = int(np.argmax(dets[:, 4]))
+        best = dets[i].copy()
+        if best[4] < score_threshold:
+            break
+        out.append(best)
+        dets = np.delete(dets, i, axis=0)
+        if not dets.shape[0]:
+            break
+        xx1 = np.maximum(best[0], dets[:, 0])
+        yy1 = np.maximum(best[1], dets[:, 1])
+        xx2 = np.minimum(best[2], dets[:, 2])
+        yy2 = np.minimum(best[3], dets[:, 3])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        inter = w * h
+        area_b = (best[2] - best[0] + 1) * (best[3] - best[1] + 1)
+        area = (dets[:, 2] - dets[:, 0] + 1) * (dets[:, 3] - dets[:, 1] + 1)
+        iou = inter / (area_b + area - inter)
+        if method == "linear":
+            decay = np.where(iou > iou_threshold, 1.0 - iou, 1.0)
+        elif method == "gaussian":
+            decay = np.exp(-(iou * iou) / sigma)
+        else:                                   # hard NMS
+            decay = (iou < iou_threshold).astype(np.float32)
+        dets[:, 4] *= decay
+        dets = dets[dets[:, 4] >= score_threshold]
+    return np.asarray(out, np.float32).reshape(-1, 5)

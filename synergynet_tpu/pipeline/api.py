@@ -32,9 +32,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from synergynet_tpu.mm3d import (
-    ParamPack, load_param_pack, decode_landmarks, decode_dense,
-    pose_from_param, rescale_to_roi,
+    ParamPack, load_param_pack, decode_landmarks, pose_from_param,
+    rescale_to_roi,
 )
+from synergynet_tpu.ops import decode_dense_fast
 from synergynet_tpu.mm3d.crop import square_box, crop_img
 from synergynet_tpu.mm3d.pose import rescale_pose_to_roi
 from synergynet_tpu.nn import SynergyNet, init_synergy_variables
@@ -105,7 +106,7 @@ class SynergyNet3DMM:
             param62, _ = model.apply(variables, x, train=False)
             param62 = param62.astype(jnp.float32)
             lmk = rescale_to_roi(decode_landmarks(param62, pack), roi_boxes)
-            dense = rescale_to_roi(decode_dense(param62, pack), roi_boxes)
+            dense = rescale_to_roi(decode_dense_fast(param62, pack), roi_boxes)
             angles, t3d = pose_from_param(param62, pack)
             t3d = rescale_pose_to_roi(t3d, roi_boxes)
             return param62, lmk, dense, angles, t3d
