@@ -34,6 +34,8 @@ N_SMALL, N_LARGE = 10, 50
 def main():
     import jax
     import jax.numpy as jnp
+    from synergynet_tpu.core import enable_compile_cache
+    enable_compile_cache()
     from jax import lax
     from synergynet_tpu.mm3d import (
         load_param_pack, decode_landmarks, pose_from_param)

@@ -14,3 +14,4 @@ from synergynet_tpu.core.checkpoint import (  # noqa: F401
 from synergynet_tpu.core.profiling import (  # noqa: F401
     trace, annotate, StageTimer, measure, device_memory_stats,
 )
+from synergynet_tpu.core.profiling import enable_compile_cache  # noqa: F401

@@ -104,3 +104,16 @@ def device_memory_stats(device: Optional[jax.Device] = None
     d = device or jax.devices()[0]
     stats = getattr(d, "memory_stats", lambda: None)()
     return dict(stats) if stats else {}
+
+
+def enable_compile_cache(path: str = "/tmp/synergy_jax_cache",
+                         min_compile_secs: float = 2.0) -> None:
+    """Enable JAX's persistent compilation cache (first compiles of the big
+    jitted programs take minutes on some backends; cached reloads are
+    seconds). Call early, before the first jit dispatch."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_secs)
+    except Exception:
+        pass

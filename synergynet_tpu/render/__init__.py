@@ -13,3 +13,4 @@ from synergynet_tpu.render.lighting import (  # noqa: F401
 from synergynet_tpu.render.overlay import (  # noqa: F401
     render_overlay, add_weighted_u8,
 )
+from synergynet_tpu.render.raster import rasterize_triangles  # noqa: F401

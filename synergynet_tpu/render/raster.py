@@ -206,3 +206,65 @@ def rasterize(vertices, triangles, colors, bg=None, height=None, width=None,
     out = blend_uint8(jnp.asarray(bg), zbuf, color, float(alpha),
                       reverse=reverse)
     return np.asarray(out)
+
+
+@partial(jax.jit, static_argnames=("h", "w", "win_h", "win_w"))
+def rasterize_triangles(vertices: jnp.ndarray, triangles: jnp.ndarray, *,
+                        h: int, w: int, win_h: int = 4, win_w: int = 4):
+    """Visibility buffers: per pixel the winning triangle id, its depth and
+    barycentric weight of the first corner.
+
+    The equivalent of the reference's ``_rasterize_triangles``
+    (Sim3DR/lib/rasterize_kernel.cpp:290-348: triangle-index buffer +
+    barycentric buffer). Returns (tri_id (h, w) int32 — -1 where empty,
+    depth (h, w) f32 init -1e8, bary_w0 (h, w) f32).
+    """
+    t = triangles.shape[0]
+    dummy_colors = jnp.zeros((vertices.shape[0], 3), jnp.float32)
+    pix, depth, rgb, _ = _fragment_windows(
+        vertices, triangles, dummy_colors, h, w, win_h, win_w)
+
+    tri_id = jnp.repeat(jnp.arange(t, dtype=jnp.int32), win_h * win_w)
+    pix_s, _, tid_s, d_s, w0_s = jax.lax.sort(
+        (pix, -depth, tri_id, depth,
+         _fragment_w0(vertices, triangles, h, w, win_h, win_w)),
+        num_keys=3)
+    first = jnp.concatenate([jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]])
+    idx = jnp.where(first, pix_s, h * w)
+
+    def put(init, vals):
+        return init.at[idx].set(vals, mode="drop")
+
+    tri_buf = put(jnp.full((h * w,), -1, jnp.int32), tid_s)
+    zbuf = put(jnp.full((h * w,), DEPTH_INIT, jnp.float32), d_s)
+    w0buf = put(jnp.zeros((h * w,), jnp.float32), w0_s)
+    return (tri_buf.reshape(h, w), zbuf.reshape(h, w), w0buf.reshape(h, w))
+
+
+def _fragment_w0(vertices, triangles, h, w, win_h, win_w):
+    """w0 = 1 - u - v per fragment, same traversal as _fragment_windows."""
+    p0 = vertices[triangles[:, 0]]
+    p1 = vertices[triangles[:, 1]]
+    p2 = vertices[triangles[:, 2]]
+    xs = jnp.stack([p0[:, 0], p1[:, 0], p2[:, 0]], 1)
+    ys = jnp.stack([p0[:, 1], p1[:, 1], p2[:, 1]], 1)
+    x_min = jnp.maximum(jnp.floor(xs.min(1)).astype(jnp.int32), 0)
+    y_min = jnp.maximum(jnp.floor(ys.min(1)).astype(jnp.int32), 0)
+    v0 = p2[:, :2] - p0[:, :2]
+    v1 = p1[:, :2] - p0[:, :2]
+    dot00 = jnp.sum(v0 * v0, 1)
+    dot01 = jnp.sum(v0 * v1, 1)
+    dot11 = jnp.sum(v1 * v1, 1)
+    den = dot00 * dot11 - dot01 * dot01
+    degenerate = jnp.abs(den) <= 1e-6 * dot00 * dot11
+    inv = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, den))
+    s = win_h * win_w
+    sx = (jnp.arange(s, dtype=jnp.int32) % win_w)[None, :]
+    sy = (jnp.arange(s, dtype=jnp.int32) // win_w)[None, :]
+    dx = (x_min[:, None] + sx).astype(jnp.float32) - p0[:, 0:1]
+    dy = (y_min[:, None] + sy).astype(jnp.float32) - p0[:, 1:2]
+    dot02 = v0[:, 0:1] * dx + v0[:, 1:2] * dy
+    dot12 = v1[:, 0:1] * dx + v1[:, 1:2] * dy
+    u = (dot11[:, None] * dot02 - dot01[:, None] * dot12) * inv[:, None]
+    v = (dot00[:, None] * dot12 - dot01[:, None] * dot02) * inv[:, None]
+    return (1.0 - u - v).reshape(-1)
