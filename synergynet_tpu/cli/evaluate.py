@@ -22,6 +22,9 @@ def main(argv=None):
     p.add_argument("--std", type=float, default=128.0,
                    help="normalization std (reference: 128 standalone)")
     p.add_argument("-n", "--synthetic-size", type=int, default=512)
+    p.add_argument("--dump-viz", default=None, metavar="DIR",
+                   help="write landmark overlays for the first 50 crops "
+                        "(reference benchmark.py:168-176)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -48,6 +51,26 @@ def main(argv=None):
                            std=args.std, batch=args.batch_size,
                            transform=TestTransform())
     print(r["report"])
+
+    if args.dump_viz:
+        import os
+        import cv2
+        from synergynet_tpu.evals import make_param_extractor
+        from synergynet_tpu.mm3d import decode_landmarks, load_param_pack
+        import jax.numpy as jnp
+        os.makedirs(args.dump_viz, exist_ok=True)
+        imgs = eval_pack["images"][:50]
+        params = make_param_extractor(model, variables, std=args.std,
+                                      batch=min(64, len(imgs)))(imgs)
+        lmk = np.asarray(decode_landmarks(jnp.asarray(params),
+                                          load_param_pack()))
+        for i, img in enumerate(imgs):
+            canvas = np.ascontiguousarray(img)
+            for x, y in zip(lmk[i, 0], lmk[i, 1]):
+                cv2.circle(canvas, (int(round(x)), int(round(y))), 1,
+                           (0, 255, 0), -1)
+            cv2.imwrite(os.path.join(args.dump_viz, f"{i:04d}.jpg"), canvas)
+        print(f"wrote {len(imgs)} landmark visualizations to {args.dump_viz}")
     return r
 
 
