@@ -9,3 +9,6 @@ from synergynet_tpu.pipeline.outputs import (  # noqa: F401
 from synergynet_tpu.pipeline.draw import (  # noqa: F401
     draw_landmarks, draw_axis, viz_bbox,
 )
+from synergynet_tpu.pipeline.device_crop import (  # noqa: F401
+    crop_resize_bilinear, square_rois,
+)

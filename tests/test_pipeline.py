@@ -105,3 +105,31 @@ class TestDraw:
         assert out.sum() > 0
         out2 = viz_bbox(img.copy(), [[10, 10, 60, 60, 0.9]])
         assert out2.sum() > 0
+
+
+class TestDeviceCrop:
+    def test_matches_host_cv2_chain(self):
+        import cv2
+        import jax.numpy as jnp
+        from synergynet_tpu.pipeline import crop_resize_bilinear
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (300, 400, 3), np.uint8)
+        rois = [[40., 30., 200., 190.],    # downscale
+                [-20., -10., 140., 150.],  # out-of-bounds zero pad
+                [10., 10., 70., 70.],      # upscale
+                [40.2, 30.7, 199.6, 190.49]]  # fractional
+        got = np.asarray(crop_resize_bilinear(
+            jnp.asarray(img, jnp.float32), jnp.asarray(rois)))
+        for i, roi in enumerate(rois):
+            want = cv2.resize(crop_img(img, roi), (120, 120),
+                              interpolation=cv2.INTER_LINEAR)
+            assert np.abs(got[i] - want).max() < 1.0, roi
+
+    def test_square_rois_matches_host(self):
+        import jax.numpy as jnp
+        from synergynet_tpu.pipeline import square_rois
+        rects = np.asarray([[10., 20., 110., 140.],
+                            [0., 0., 33., 77.]], np.float32)
+        got = np.asarray(square_rois(jnp.asarray(rects)))
+        for i in range(2):
+            np.testing.assert_allclose(got[i], square_box(rects[i]))
