@@ -21,3 +21,6 @@ from synergynet_tpu.mm3d import (  # noqa: F401
     decode_dense,
     pose_from_param,
 )
+
+# Packaged inference API (the synergy3DMM equivalent) at top level.
+from synergynet_tpu.pipeline.api import SynergyNet3DMM  # noqa: F401

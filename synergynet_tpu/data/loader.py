@@ -27,7 +27,12 @@ import numpy as np
 class PrefetchLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 8,
-                 prefetch: int = 2, seed: int = 0):
+                 prefetch: int = 2, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1):
+        """``process_index``/``process_count`` shard the dataset across
+        hosts for multi-host SPMD: every process sees a disjoint strided
+        slice under the same shuffle order (set them from
+        ``jax.process_index()`` / ``jax.process_count()``)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -36,9 +41,16 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.epoch = 0
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
+
+    def _num_local(self) -> int:
+        n = len(self.dataset)
+        return (n - self.process_index + self.process_count - 1) \
+            // self.process_count
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._num_local()
         return n // self.batch_size if self.drop_last else \
             (n + self.batch_size - 1) // self.batch_size
 
@@ -55,8 +67,11 @@ class PrefetchLoader:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
+            # Same permutation on every host; each takes a strided slice.
             np.random.default_rng(
                 np.random.SeedSequence([self.seed, self.epoch])).shuffle(order)
+        if self.process_count > 1:
+            order = order[self.process_index::self.process_count]
         nb = len(self)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

@@ -10,5 +10,5 @@ from synergynet_tpu.pipeline.draw import (  # noqa: F401
     draw_landmarks, draw_axis, viz_bbox,
 )
 from synergynet_tpu.pipeline.device_crop import (  # noqa: F401
-    crop_resize_bilinear, square_rois,
+    crop_resize_bilinear, crop_resize_matmul, square_rois,
 )

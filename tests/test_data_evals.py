@@ -143,3 +143,22 @@ class TestBenchmark:
                                transform=EvalTransform())
         assert np.isfinite(r["nme_mean"])
         assert np.isfinite(r["foe"]["mae_mean"])
+
+
+class TestMultiHostSharding:
+    def test_disjoint_cover(self):
+        rng = np.random.default_rng(0)
+        ds = ArrayDataset(rng.integers(0, 255, (40, 4, 4, 3), np.uint8),
+                          rng.normal(0, 1, (40, 62)).astype(np.float32))
+        seen = []
+        for pi in range(4):
+            loader = PrefetchLoader(ds, batch_size=5, shuffle=True, seed=3,
+                                    num_workers=1, process_index=pi,
+                                    process_count=4)
+            assert len(loader) == 2
+            for imgs, _ in loader:
+                seen.append(imgs)
+        stacked = np.concatenate(seen).reshape(40, -1)
+        # all 40 samples appear exactly once across the 4 hosts
+        uniq = np.unique(stacked, axis=0)
+        assert len(uniq) == 40

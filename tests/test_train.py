@@ -117,3 +117,25 @@ class TestGraftEntry:
         assert param62.shape == (8, 62)
         assert lmk.shape == (8, 3, 68)
         assert angles.shape == (8, 3) and t3d.shape == (8, 3)
+
+
+class TestTPDenseDecode:
+    def test_tp_matches_codec(self, pack, rng):
+        """Tensor-parallel dense decode on a 4x2 CPU mesh matches the
+        single-device codec."""
+        import jax
+        import jax.numpy as jnp
+        from synergynet_tpu.core import make_mesh
+        from synergynet_tpu.parallel import tp_dense_decode
+        from synergynet_tpu.mm3d import decode_dense
+
+        mesh = make_mesh(n_model=2)
+        decode = tp_dense_decode(mesh, pack)
+        p = jnp.asarray(rng.normal(0, 0.5, (8, 62)).astype(np.float32))
+        dense, checksum = decode(p)
+        want = np.asarray(decode_dense(p, pack))
+        got = np.asarray(dense)[:, :, :want.shape[2]]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(checksum),
+                                   np.asarray(dense).sum(2), rtol=1e-4,
+                                   atol=1e-2)
