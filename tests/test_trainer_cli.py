@@ -117,3 +117,23 @@ class TestCLI:
         assert len(written) == 1 and os.path.exists(written[0])
         first = open(written[0]).readline()
         assert first.startswith("v ") and len(first.split()) == 7
+
+
+class TestUVTextureCLI:
+    def test_uv_texture_runs(self, tmp_path):
+        import cv2
+        from synergynet_tpu.cli.uv_texture import run
+        from synergynet_tpu.pipeline import SynergyNet3DMM
+
+        img = np.random.default_rng(2).integers(
+            0, 255, (256, 256, 3), np.uint8)
+        p = str(tmp_path / "real_crop.jpg")
+        cv2.imwrite(p, img)
+        api = SynergyNet3DMM()
+        written = run(p, tex_dir=str(tmp_path), out_dir=str(tmp_path / "o"),
+                      api=api)
+        assert len(written) == 1 and os.path.exists(written[0])
+        overlay = str(tmp_path / "o" / "rendering_overlay" / "real_crop.jpg")
+        assert os.path.exists(overlay)
+        out = cv2.imread(overlay)
+        assert out is not None and (out != img).any()
