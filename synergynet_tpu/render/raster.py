@@ -128,9 +128,10 @@ def rasterize_buffers(vertices: jnp.ndarray, triangles: jnp.ndarray,
     # Tie-break: earlier triangle wins at equal depth (the reference's
     # strictly-greater test keeps the first writer).
     tri_id = jnp.repeat(jnp.arange(t, dtype=jnp.int32), win_h * win_w)
-    pix_s, negd_s, _, r_s, g_s, b_s, d_s = jax.lax.sort(
-        (pix, -depth, tri_id, rgb[:, 0], rgb[:, 1], rgb[:, 2], depth),
+    pix_s, negd_s, _, r_s, g_s, b_s = jax.lax.sort(
+        (pix, -depth, tri_id, rgb[:, 0], rgb[:, 1], rgb[:, 2]),
         num_keys=3)
+    d_s = -negd_s
 
     first = jnp.concatenate(
         [jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]])
@@ -225,10 +226,11 @@ def rasterize_triangles(vertices: jnp.ndarray, triangles: jnp.ndarray, *,
         vertices, triangles, dummy_colors, h, w, win_h, win_w)
 
     tri_id = jnp.repeat(jnp.arange(t, dtype=jnp.int32), win_h * win_w)
-    pix_s, _, tid_s, d_s, w0_s = jax.lax.sort(
-        (pix, -depth, tri_id, depth,
+    pix_s, negd_s, tid_s, w0_s = jax.lax.sort(
+        (pix, -depth, tri_id,
          _fragment_w0(vertices, triangles, h, w, win_h, win_w)),
         num_keys=3)
+    d_s = -negd_s
     first = jnp.concatenate([jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]])
     idx = jnp.where(first, pix_s, h * w)
 
