@@ -44,7 +44,8 @@ def main():
     from synergynet_tpu.detect.anchors import decode_boxes, generate_anchors
     from synergynet_tpu.detect.detector import (BGR_MEAN, CANVAS,
                                                 NMS_THRESHOLD, NMS_TOP_K)
-    from synergynet_tpu.detect.net import FaceBoxesNet
+    from synergynet_tpu.detect.net import (FaceBoxesNet, space_to_depth,
+                                           variables_to_s2d)
     from synergynet_tpu.detect.nms import greedy_nms_mask
     from synergynet_tpu.detect.torch_import import load_faceboxes_variables
     from synergynet_tpu.mm3d import (load_param_pack, decode_landmarks,
@@ -56,14 +57,16 @@ def main():
     pack = load_param_pack()
     model = SynergyNet(arch="mobilenet_v2", dtype=jnp.bfloat16)
     variables = init_synergy_variables(model, jax.random.PRNGKey(0))
-    det_net = FaceBoxesNet(dtype=jnp.bfloat16)
-    det_vars = load_faceboxes_variables()
+    det_net = FaceBoxesNet(dtype=jnp.bfloat16, stem_s2d=True)
+    det_vars = variables_to_s2d(load_faceboxes_variables())
     ch, cw = CANVAS
     anchors = jnp.asarray(generate_anchors(ch, cw))
 
-    def detect(frame_f32):
-        """(H, W, 3) frame -> top FACES_PER_FRAME roi boxes (F, 4)."""
-        x = frame_f32 - jnp.asarray(BGR_MEAN)
+    det_mean = jnp.asarray(np.tile(BGR_MEAN, 16), jnp.float32)
+
+    def detect(frame_s2d):
+        """s2d-packed (H/4, W/4, 48) frame -> top FACES_PER_FRAME rois."""
+        x = frame_s2d - det_mean
         loc, conf = det_net.apply(det_vars, x[None], train=False)
         scores = jax.nn.softmax(conf[0], axis=-1)[:, 1]
         boxes = decode_boxes(loc[0], anchors) * jnp.asarray(
@@ -74,8 +77,8 @@ def main():
         order = jnp.argsort(~keep, stable=True)[:FACES_PER_FRAME]
         return top_boxes[order]
 
-    def faces_pipeline(frame_f32):
-        rois = square_rois(detect(frame_f32))
+    def faces_pipeline(frame_f32, frame_s2d):
+        rois = square_rois(detect(frame_s2d))
         crops = crop_resize_matmul(frame_f32, rois)      # (F, 120, 120, 3)
         x = (crops - 127.5) / 128.0
         param62, _ = model.apply(variables, x, train=False)
@@ -86,24 +89,26 @@ def main():
         return lmk, dense, angles, t3d
 
     @jax.jit
-    def bench_loop(frame, n_iters):
+    def bench_loop(frame, frame_s2d, n_iters):
         def body(i, acc):
-            f = frame + (i.astype(jnp.float32) * 1e-3)    # defeat memoization
-            lmk, dense, angles, t3d = faces_pipeline(f)
+            c = i.astype(jnp.float32) * 1e-3              # defeat memoization
+            lmk, dense, angles, t3d = faces_pipeline(frame + c,
+                                                     frame_s2d + c)
             return (acc + jnp.sum(lmk * lmk) * 1e-6
                     + jnp.sum(dense * dense) * 1e-9
                     + jnp.sum(angles) + jnp.sum(t3d))
         return lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
 
     rng = np.random.default_rng(0)
-    frame = jnp.asarray(
-        rng.integers(0, 255, (ch, cw, 3)).astype(np.float32))
+    frame_np = rng.integers(0, 255, (ch, cw, 3)).astype(np.float32)
+    frame = jnp.asarray(frame_np)
+    frame_s2d = jnp.asarray(np.ascontiguousarray(space_to_depth(frame_np)))
 
-    float(bench_loop(frame, 2))                           # compile + warmup
+    float(bench_loop(frame, frame_s2d, 2))                # compile + warmup
 
     def run(n):
         t0 = time.perf_counter()
-        float(bench_loop(frame, n))                       # scalar fetch = sync
+        float(bench_loop(frame, frame_s2d, n))            # scalar fetch = sync
         return time.perf_counter() - t0
 
     t_small = min(run(N_SMALL) for _ in range(3))

@@ -69,12 +69,18 @@ class FaceBoxes:
 
     def __init__(self, variables: Optional[dict] = None,
                  weights_path: Optional[str] = None,
-                 dtype: jnp.dtype = jnp.float32):
-        self.net = FaceBoxesNet(dtype=dtype)
+                 dtype: jnp.dtype = jnp.float32,
+                 stem_s2d: bool = True):
+        from synergynet_tpu.detect.net import variables_to_s2d
+        self.stem_s2d = stem_s2d
+        self.net = FaceBoxesNet(dtype=dtype, stem_s2d=stem_s2d)
         if variables is None:
             from synergynet_tpu.detect.torch_import import (
                 load_faceboxes_variables)
             variables = load_faceboxes_variables(weights_path)
+        if stem_s2d and variables["params"]["conv1"]["conv"][
+                "kernel"].shape[0] == 7:
+            variables = variables_to_s2d(variables)
         self.variables = variables
         h, w = CANVAS
         self.anchors = jnp.asarray(generate_anchors(h, w))
@@ -83,12 +89,16 @@ class FaceBoxes:
     def _build_pipeline(self):
         net, anchors = self.net, self.anchors
         ch, cw = CANVAS
+        mean = jnp.asarray(
+            np.tile(BGR_MEAN, 16) if self.stem_s2d else BGR_MEAN,
+            jnp.float32)
 
         @jax.jit
         def pipeline(variables, canvas_u8, true_hw):
-            """canvas_u8 (CANVAS..., 3) BGR uint8; true_hw (2,) valid extent
-            in canvas pixels. Returns (dets (KEEP_TOP_K, 5), count)."""
-            x = canvas_u8.astype(jnp.float32) - jnp.asarray(BGR_MEAN)
+            """canvas_u8 (CANVAS..., 3) BGR uint8 — or its space-to-depth
+            packing (CANVAS/4..., 48) when stem_s2d; true_hw (2,) valid
+            extent in canvas pixels. Returns (dets (KEEP_TOP_K, 5), count)."""
+            x = canvas_u8.astype(jnp.float32) - mean
             loc, conf = net.apply(variables, x[None], train=False)
             scores = jax.nn.softmax(conf[0], axis=-1)[:, 1]
             boxes = decode_boxes(loc[0], anchors)
@@ -132,6 +142,9 @@ class FaceBoxes:
         ch, cw = CANVAS
         canvas = np.zeros((ch, cw, 3), np.uint8)
         canvas[:min(hs, ch), :min(ws, cw)] = img_s[:ch, :cw]
+        if self.stem_s2d:
+            from synergynet_tpu.detect.net import space_to_depth
+            canvas = np.ascontiguousarray(space_to_depth(canvas))
         dets, count = self._pipeline(
             self.variables, jnp.asarray(canvas),
             jnp.asarray([hs, ws], jnp.int32))

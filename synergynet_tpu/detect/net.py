@@ -55,7 +55,7 @@ class CRelu(nn.Module):
     features: int
     kernel: int
     stride: int
-    pad: int
+    pad: object           # int or explicit ((t, b), (l, r))
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -100,16 +100,28 @@ class FaceBoxesNet(nn.Module):
     ``conf`` is raw logits; the detector pipeline applies softmax. A = total
     anchor count for (H, W); anchor ordering matches
     :func:`synergynet_tpu.detect.anchors.generate_anchors`.
+
+    ``stem_s2d``: expect a space-to-depth packed input (B, H/4, W/4, 48)
+    (see :func:`space_to_depth`) and run the stem as an equivalent 2x2
+    conv. A 3-channel 7x7/4 conv forces XLA into a slow input relayout
+    (~0.6 ms/frame at 720x1088 — measured); packing on the host while the
+    frame canvas is assembled makes the stem essentially free. Weights
+    convert exactly via :func:`stem_kernel_to_s2d`.
     """
 
     dtype: jnp.dtype = jnp.float32
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         dt = self.dtype
         x = x.astype(dt)
-        x = CRelu(24, 7, 4, 3, dtype=dt, name="conv1")(x, train)
+        if self.stem_s2d:
+            x = CRelu(24, 2, 1, ((1, 0), (1, 0)), dtype=dt,
+                      name="conv1")(x, train)
+        else:
+            x = CRelu(24, 7, 4, 3, dtype=dt, name="conv1")(x, train)
         x = _maxpool_3x3_s2(x)
         x = CRelu(64, 5, 2, 2, dtype=dt, name="conv2")(x, train)
         x = _maxpool_3x3_s2(x)
@@ -139,3 +151,55 @@ class FaceBoxesNet(nn.Module):
         loc = jnp.concatenate(locs, axis=1).astype(jnp.float32)
         conf = jnp.concatenate(confs, axis=1).astype(jnp.float32)
         return loc, conf
+
+
+def space_to_depth(x, r: int = 4):
+    """(..., H, W, C) -> (..., H/r, W/r, r*r*C); channel (dy*r + dx)*C + c.
+
+    Works on numpy or jnp arrays; on the host this is a cheap copy done
+    while the frame canvas is assembled.
+    """
+    *lead, h, w, c = x.shape
+    y = x.reshape(*lead, h // r, r, w // r, r, c)
+    if len(lead) == 0:
+        y = y.transpose(0, 2, 1, 3, 4)
+    else:
+        y = y.transpose(*range(len(lead)), len(lead), len(lead) + 2,
+                        len(lead) + 1, len(lead) + 3, len(lead) + 4)
+    return y.reshape(*lead, h // r, w // r, r * r * c)
+
+
+def stem_kernel_to_s2d(kernel7):
+    """Exact re-layout of the 7x7/4 stem kernel (7, 7, 3, 24) HWIO into the
+    s2d-equivalent 2x2 kernel (2, 2, 48, 24): tap (ty, tx) of the original
+    maps to block (by, bx) = ((ty+1)//4 ... ) with ty = 4*by + dy - 1 (the
+    -1 absorbs the original padding=3 against the s2d conv's ((1,0),(1,0))
+    block padding). Missing taps (ty or tx == -1) are zero.
+    """
+    import numpy as np
+    k7 = np.asarray(kernel7)
+    cin, cout = k7.shape[2], k7.shape[3]
+    k2 = np.zeros((2, 2, 16 * cin, cout), k7.dtype)
+    for by in range(2):
+        for bx in range(2):
+            for dy in range(4):
+                for dx in range(4):
+                    ty, tx = 4 * by + dy - 1, 4 * bx + dx - 1
+                    if 0 <= ty < k7.shape[0] and 0 <= tx < k7.shape[1]:
+                        ch = (dy * 4 + dx) * cin
+                        k2[by, bx, ch:ch + cin] = k7[ty, tx]
+    return k2
+
+
+def variables_to_s2d(variables):
+    """Convert a standard FaceBoxesNet variable tree to the stem_s2d form
+    (only conv1's conv kernel changes)."""
+    import jax
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    k7 = params["conv1"]["conv"]["kernel"]
+    import jax.numpy as jnp
+    params["conv1"] = dict(params["conv1"])
+    params["conv1"]["conv"] = {"kernel": jnp.asarray(stem_kernel_to_s2d(k7))}
+    out = dict(variables)
+    out["params"] = params
+    return out

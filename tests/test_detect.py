@@ -158,3 +158,36 @@ class TestDetector:
         assert got_keys == want_keys
         for k in want_keys:
             assert flat_got[k] == flat_want[k], k
+
+
+class TestS2DStem:
+    def test_s2d_net_matches_standard(self):
+        import jax
+        import jax.numpy as jnp
+        from synergynet_tpu.detect.net import (space_to_depth,
+                                               variables_to_s2d)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(0, 50, (1, 128, 256, 3)).astype(np.float32))
+        net = FaceBoxesNet()
+        v = net.init(jax.random.PRNGKey(0), x, train=False)
+        loc, conf = net.apply(v, x, train=False)
+        net2 = FaceBoxesNet(stem_s2d=True)
+        loc2, conf2 = net2.apply(variables_to_s2d(v), space_to_depth(x),
+                                 train=False)
+        np.testing.assert_allclose(np.asarray(loc), np.asarray(loc2),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(conf), np.asarray(conf2),
+                                   atol=2e-4)
+
+    def test_detector_s2d_equals_plain(self):
+        """The wrapper gives identical detections with either stem."""
+        from synergynet_tpu.detect.torch_import import random_init_variables
+        from synergynet_tpu.detect.detector import FaceBoxes
+        img = np.random.default_rng(6).integers(
+            0, 255, (480, 640, 3), np.uint8)
+        v = random_init_variables()
+        a = FaceBoxes(variables=v, stem_s2d=False).detect_raw(img)
+        b = FaceBoxes(variables=v, stem_s2d=True).detect_raw(img)
+        assert a[1] == b[1]
+        np.testing.assert_allclose(a[0][:a[1]], b[0][:b[1]], rtol=1e-4,
+                                   atol=1e-2)
