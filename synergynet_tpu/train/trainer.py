@@ -119,7 +119,7 @@ class Trainer:
         bank = MeterBank()
         data_time = AverageMeter()
         batch_time = AverageMeter()
-        rng = jax.random.PRNGKey(hash(("epoch", t.seed, epoch)) & 0x7FFFFFFF)
+        rng = jax.random.fold_in(jax.random.PRNGKey(t.seed), epoch)
         end = time.time()
         for i, (images, params) in enumerate(self.loader):
             data_time.update(time.time() - end)
