@@ -15,3 +15,6 @@ from synergynet_tpu.detect.nms import soft_nms  # noqa: F401
 from synergynet_tpu.detect.train_utils import (  # noqa: F401
     jaccard, encode, match, multibox_loss, center_to_corner,
 )
+from synergynet_tpu.detect.trainer import (  # noqa: F401
+    DetectorTrainer, make_synthetic_detection_batch,
+)

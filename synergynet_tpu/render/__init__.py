@@ -14,3 +14,6 @@ from synergynet_tpu.render.overlay import (  # noqa: F401
     render_overlay, add_weighted_u8,
 )
 from synergynet_tpu.render.raster import rasterize_triangles  # noqa: F401
+from synergynet_tpu.render.texture import (  # noqa: F401
+    render_texture, rasterize_texture_buffers,
+)

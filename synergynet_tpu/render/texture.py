@@ -1,0 +1,105 @@
+"""Per-pixel UV texture-mapped rendering.
+
+Equivalent of the reference's ``_render_texture_core``
+(Sim3DR/lib/rasterize_kernel.cpp, declared rasterize.h:103-108 — present in
+the native library but never exposed through the Cython bridge): for every
+pixel, find the visible triangle, interpolate its corners' UV coordinates
+with the barycentric weights, and sample the texture image (nearest or
+bilinear).
+
+Built on the same sort-based visibility resolve as the color rasterizer:
+instead of interpolating per-vertex colors through the sort, the fragment
+carries its interpolated (u, v) texture coordinates, and the winning
+fragment's UVs drive one final texture sample per drawn pixel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from synergynet_tpu.render.raster import (DEPTH_INIT, _fragment_windows,
+                                          blend_uint8, window_for)
+
+
+@partial(jax.jit, static_argnames=("h", "w", "win_h", "win_w", "bilinear"))
+def rasterize_texture_buffers(vertices: jnp.ndarray, triangles: jnp.ndarray,
+                              tex_coords: jnp.ndarray, texture: jnp.ndarray,
+                              *, h: int, w: int, win_h: int = 4,
+                              win_w: int = 4, bilinear: bool = True
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(zbuf (h, w), color (h, w, 3) in [0, 1]) from a UV-mapped mesh.
+
+    ``tex_coords``: (V, 2) per-vertex (u, v) in [0, 1] (v up, like BFM_UV);
+    ``texture``: (TH, TW, 3) float in [0, 1] or uint8.
+    """
+    # Interpolate UVs through the fragment generator by treating (u, v, 0)
+    # as "colors" — same weights, same coverage.
+    uv3 = jnp.concatenate([tex_coords.astype(jnp.float32),
+                           jnp.zeros((tex_coords.shape[0], 1), jnp.float32)],
+                          axis=1)
+    t = triangles.shape[0]
+    pix, depth, uvz, _ = _fragment_windows(
+        vertices, triangles, uv3, h, w, win_h, win_w)
+
+    tri_id = jnp.repeat(jnp.arange(t, dtype=jnp.int32), win_h * win_w)
+    pix_s, negd_s, _, u_s, v_s = jax.lax.sort(
+        (pix, -depth, tri_id, uvz[:, 0], uvz[:, 1]), num_keys=3)
+    d_s = -negd_s
+    first = jnp.concatenate([jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]])
+    idx = jnp.where(first, pix_s, h * w)
+
+    def put(init, vals):
+        return init.at[idx].set(vals, mode="drop")
+
+    zbuf = put(jnp.full((h * w,), DEPTH_INIT, jnp.float32), d_s)
+    ubuf = put(jnp.zeros((h * w,), jnp.float32), u_s)
+    vbuf = put(jnp.zeros((h * w,), jnp.float32), v_s)
+
+    tex = texture.astype(jnp.float32)
+    if texture.dtype == jnp.uint8:
+        tex = tex / 255.0
+    th, tw = tex.shape[:2]
+    # v is measured from the bottom (BFM_UV convention; the reference flips
+    # the texture vertically before lookup, artistic.py:111-113).
+    tx = ubuf * (tw - 1)
+    ty = (1.0 - vbuf) * (th - 1)
+    if bilinear:
+        x0 = jnp.clip(jnp.floor(tx), 0, tw - 1)
+        y0 = jnp.clip(jnp.floor(ty), 0, th - 1)
+        x1 = jnp.clip(x0 + 1, 0, tw - 1)
+        y1 = jnp.clip(y0 + 1, 0, th - 1)
+        fx = (tx - x0)[:, None]
+        fy = (ty - y0)[:, None]
+        g = lambda yy, xx: tex[yy.astype(jnp.int32), xx.astype(jnp.int32)]
+        color = ((g(y0, x0) * (1 - fx) + g(y0, x1) * fx) * (1 - fy)
+                 + (g(y1, x0) * (1 - fx) + g(y1, x1) * fx) * fy)
+    else:
+        color = tex[jnp.clip(jnp.round(ty), 0, th - 1).astype(jnp.int32),
+                    jnp.clip(jnp.round(tx), 0, tw - 1).astype(jnp.int32)]
+    return zbuf.reshape(h, w), color.reshape(h, w, 3)
+
+
+def render_texture(vertices, triangles, tex_coords, texture, bg,
+                   alpha: float = 1.0, reverse: bool = False,
+                   window: Optional[Tuple[int, int]] = None,
+                   bilinear: bool = True) -> np.ndarray:
+    """UV texture-mapped render over a uint8 background.
+
+    vertices (V, 3) image-space, triangles (T, 3) int32, tex_coords (V, 2)
+    in [0, 1], texture (TH, TW, 3).
+    """
+    bg = np.asarray(bg, np.uint8)
+    h, w = bg.shape[:2]
+    if window is None:
+        window = window_for(vertices, triangles)
+    zbuf, color = rasterize_texture_buffers(
+        jnp.asarray(vertices, jnp.float32), jnp.asarray(triangles, jnp.int32),
+        jnp.asarray(tex_coords, jnp.float32), jnp.asarray(texture),
+        h=h, w=w, win_h=window[0], win_w=window[1], bilinear=bilinear)
+    return np.asarray(blend_uint8(jnp.asarray(bg), zbuf, color,
+                                  float(alpha), reverse=reverse))

@@ -143,3 +143,47 @@ class TestLighting:
         drawn = out[out.sum(-1) > 0]
         assert len(drawn) > 0
         np.testing.assert_array_equal(drawn, 127)   # trunc(255 * 0.5)
+
+
+class TestTextureRender:
+    def test_uv_mapping_picks_right_texels(self):
+        from synergynet_tpu.render import render_texture
+        # One big triangle; corners map to distinct texture corners.
+        verts = np.array([[2, 2, 0], [28, 2, 0], [2, 28, 0]], np.float32)
+        tris = np.array([[0, 1, 2]], np.int32)
+        # u right, v up; texture row 0 is v=1 (top)
+        uv = np.array([[0, 1], [1, 1], [0, 0]], np.float32)
+        tex = np.zeros((64, 64, 3), np.float32)
+        tex[:32, :32] = [1, 0, 0]       # top-left = red
+        tex[:32, 32:] = [0, 1, 0]       # top-right = green
+        tex[32:, :32] = [0, 0, 1]       # bottom-left = blue
+        out = render_texture(verts, tris, uv, tex,
+                             np.zeros((32, 32, 3), np.uint8),
+                             window=(32, 32), bilinear=False)
+        assert tuple(out[3, 3]) == (255, 0, 0)      # near corner 0: red
+        assert tuple(out[3, 24]) == (0, 255, 0)     # near corner 1: green
+        assert tuple(out[24, 3]) == (0, 0, 255)     # near corner 2: blue
+
+    def test_bilinear_smooth(self):
+        from synergynet_tpu.render import render_texture
+        verts = np.array([[0, 0, 0], [31, 0, 0], [0, 31, 0],
+                          [31, 31, 0]], np.float32)
+        tris = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+        uv = np.array([[0, 1], [1, 1], [0, 0], [1, 0]], np.float32)
+        ramp = np.linspace(0, 1, 16)[None, :, None] * np.ones((16, 16, 3))
+        out = render_texture(verts, tris, uv, ramp.astype(np.float32),
+                             np.zeros((32, 32, 3), np.uint8),
+                             window=(32, 32))
+        row = out[16, 1:30, 0].astype(int)
+        assert (np.diff(row) >= 0).all() and row[-1] > row[0] + 100
+
+    def test_uint8_texture_accepted(self):
+        from synergynet_tpu.render import render_texture
+        verts = np.array([[2, 2, 0], [20, 2, 0], [2, 20, 0]], np.float32)
+        tris = np.array([[0, 1, 2]], np.int32)
+        uv = np.array([[0.5, 0.5]] * 3, np.float32)
+        tex = np.full((8, 8, 3), 200, np.uint8)
+        out = render_texture(verts, tris, uv, tex,
+                             np.zeros((24, 24, 3), np.uint8), window=(32, 32))
+        drawn = out[out.sum(-1) > 0]
+        assert len(drawn) and (np.abs(drawn.astype(int) - 200) <= 1).all()
