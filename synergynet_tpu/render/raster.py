@@ -12,12 +12,14 @@ TPU design inverts it into data-parallel passes with one sort:
    bbox origin. Work is proportional to sum(bbox areas) — the same
    complexity as the reference's scan — but runs 8x128 lanes wide on the
    VPU with no data-dependent control flow.
-2. **Sort** fragments lexicographically by (pixel, -depth, triangle id)
-   with XLA's TPU sort. The winner of every pixel is now the first
-   fragment of its pixel segment.
-3. **Winner select + unique scatter**: segment-first mask, then a
-   sorted/unique scatter of depth and color planes — conflict-free by
-   construction, so XLA emits a vectorized scatter.
+2. **Segment-reduction resolve**: per-pixel max depth via ``segment_max``,
+   winners identified by exact float equality with the reduced value,
+   equal-depth ties broken to the smallest fragment index via
+   ``segment_min`` (fragment order follows triangle order, so this is the
+   reference's first-triangle-wins rule), then winner payloads gathered
+   per pixel. Measured against sort+scatter and searchsorted resolves on
+   TPU this is the fastest exact formulation and compiles in seconds
+   instead of minutes.
 
 Semantics vs the reference: identical coverage rule (u >= 0, v >= 0,
 u + v < 1 with the degenerate-triangle inverDeno=0 convention), identical
@@ -121,35 +123,35 @@ def rasterize_buffers(vertices: jnp.ndarray, triangles: jnp.ndarray,
     (its clamped bbox is anchored top-left); pick them >= the largest
     triangle bbox at your render scale (see :func:`window_for`).
     """
-    t = triangles.shape[0]
     pix, depth, rgb, _ = _fragment_windows(
         vertices, triangles, colors, h, w, win_h, win_w)
-
-    # Tie-break: earlier triangle wins at equal depth (the reference's
-    # strictly-greater test keeps the first writer).
-    tri_id = jnp.repeat(jnp.arange(t, dtype=jnp.int32), win_h * win_w)
-    pix_s, negd_s, _, r_s, g_s, b_s = jax.lax.sort(
-        (pix, -depth, tri_id, rgb[:, 0], rgb[:, 1], rgb[:, 2]),
-        num_keys=3)
-    d_s = -negd_s
-
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]])
-    idx = jnp.where(first, pix_s, h * w)[:, None]
-
-    def put(init, vals):
-        # Real (first-of-segment) indices are unique; masked-out fragments
-        # point at the OOB sentinel h*w and are dropped. Note indices are NOT
-        # sorted once losers are replaced by the sentinel.
-        return init.at[idx[:, 0]].set(vals, mode="drop")
-
-    zbuf = put(jnp.full((h * w,), DEPTH_INIT, jnp.float32), d_s)
-    color = jnp.stack([
-        put(jnp.zeros((h * w,), jnp.float32), r_s),
-        put(jnp.zeros((h * w,), jnp.float32), g_s),
-        put(jnp.zeros((h * w,), jnp.float32), b_s),
-    ], axis=-1)
+    zbuf, win_idx, drawn = _resolve_winners(pix, depth, h, w)
+    color = jnp.where(drawn[:, None], rgb[win_idx], 0.0)
     return zbuf.reshape(h, w), color.reshape(h, w, 3)
+
+
+def _resolve_winners(pix, depth, h, w):
+    """Sort-free exact z-buffer resolve (TPU sorts and .set scatters
+    measured 4x slower than segment reductions at face-mesh fragment
+    counts): 1. per-pixel max depth (segment_max); 2. fragments matching it
+    are winners (float equality with the value just reduced is exact);
+    3. among equal-depth winners the smallest fragment index wins —
+    fragment order follows triangle order, reproducing the reference's
+    first-triangle-wins strictly-greater depth test; 4. callers gather
+    winner payloads per pixel.
+
+    Returns (zbuf (h*w,), win_idx (h*w,) fragment indices, drawn (h*w,)).
+    """
+    e = pix.shape[0]
+    zmax = jax.ops.segment_max(depth, pix, num_segments=h * w + 1)
+    zbuf = jnp.maximum(zmax[:h * w], DEPTH_INIT)
+
+    is_winner = depth == zmax[pix]
+    frag_idx = jax.lax.broadcasted_iota(jnp.int32, (e, 1), 0)[:, 0]
+    win_idx = jax.ops.segment_min(
+        jnp.where(is_winner, frag_idx, e), pix, num_segments=h * w + 1)
+    win_idx = jnp.minimum(win_idx[:h * w], e - 1)
+    return zbuf, win_idx, zbuf > DEPTH_INIT
 
 
 @partial(jax.jit, static_argnames=("reverse",))
@@ -220,26 +222,15 @@ def rasterize_triangles(vertices: jnp.ndarray, triangles: jnp.ndarray, *,
     barycentric buffer). Returns (tri_id (h, w) int32 — -1 where empty,
     depth (h, w) f32 init -1e8, bary_w0 (h, w) f32).
     """
-    t = triangles.shape[0]
     dummy_colors = jnp.zeros((vertices.shape[0], 3), jnp.float32)
-    pix, depth, rgb, _ = _fragment_windows(
+    pix, depth, _, _ = _fragment_windows(
         vertices, triangles, dummy_colors, h, w, win_h, win_w)
+    zbuf, win_idx, drawn = _resolve_winners(pix, depth, h, w)
 
-    tri_id = jnp.repeat(jnp.arange(t, dtype=jnp.int32), win_h * win_w)
-    pix_s, negd_s, tid_s, w0_s = jax.lax.sort(
-        (pix, -depth, tri_id,
-         _fragment_w0(vertices, triangles, h, w, win_h, win_w)),
-        num_keys=3)
-    d_s = -negd_s
-    first = jnp.concatenate([jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]])
-    idx = jnp.where(first, pix_s, h * w)
-
-    def put(init, vals):
-        return init.at[idx].set(vals, mode="drop")
-
-    tri_buf = put(jnp.full((h * w,), -1, jnp.int32), tid_s)
-    zbuf = put(jnp.full((h * w,), DEPTH_INIT, jnp.float32), d_s)
-    w0buf = put(jnp.zeros((h * w,), jnp.float32), w0_s)
+    s = win_h * win_w
+    tri_buf = jnp.where(drawn, (win_idx // s).astype(jnp.int32), -1)
+    w0 = _fragment_w0(vertices, triangles, h, w, win_h, win_w)
+    w0buf = jnp.where(drawn, w0[win_idx], 0.0)
     return (tri_buf.reshape(h, w), zbuf.reshape(h, w), w0buf.reshape(h, w))
 
 

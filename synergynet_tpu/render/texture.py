@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from synergynet_tpu.render.raster import (DEPTH_INIT, _fragment_windows,
-                                          blend_uint8, window_for)
+                                          _resolve_winners, blend_uint8,
+                                          window_for)
 
 
 @partial(jax.jit, static_argnames=("h", "w", "win_h", "win_w", "bilinear"))
@@ -42,23 +43,11 @@ def rasterize_texture_buffers(vertices: jnp.ndarray, triangles: jnp.ndarray,
     uv3 = jnp.concatenate([tex_coords.astype(jnp.float32),
                            jnp.zeros((tex_coords.shape[0], 1), jnp.float32)],
                           axis=1)
-    t = triangles.shape[0]
     pix, depth, uvz, _ = _fragment_windows(
         vertices, triangles, uv3, h, w, win_h, win_w)
-
-    tri_id = jnp.repeat(jnp.arange(t, dtype=jnp.int32), win_h * win_w)
-    pix_s, negd_s, _, u_s, v_s = jax.lax.sort(
-        (pix, -depth, tri_id, uvz[:, 0], uvz[:, 1]), num_keys=3)
-    d_s = -negd_s
-    first = jnp.concatenate([jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]])
-    idx = jnp.where(first, pix_s, h * w)
-
-    def put(init, vals):
-        return init.at[idx].set(vals, mode="drop")
-
-    zbuf = put(jnp.full((h * w,), DEPTH_INIT, jnp.float32), d_s)
-    ubuf = put(jnp.zeros((h * w,), jnp.float32), u_s)
-    vbuf = put(jnp.zeros((h * w,), jnp.float32), v_s)
+    zbuf, win_idx, drawn = _resolve_winners(pix, depth, h, w)
+    ubuf = jnp.where(drawn, uvz[win_idx, 0], 0.0)
+    vbuf = jnp.where(drawn, uvz[win_idx, 1], 0.0)
 
     tex = texture.astype(jnp.float32)
     if texture.dtype == jnp.uint8:
