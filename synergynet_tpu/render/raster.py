@@ -1,10 +1,10 @@
-"""Sort-based z-buffer rasterizer — the TPU-native Sim3DR.
+"""Data-parallel z-buffer rasterizer — the TPU-native Sim3DR.
 
 The reference rasterizes with a scalar C++ loop: per triangle, scan the
 bbox, barycentric-test each pixel, depth-test against a z-buffer, blend
-(reference: Sim3DR/lib/rasterize_kernel.cpp:219-287). A z-buffer is a
-scatter-with-max — the worst possible shape for a vector machine — so the
-TPU design inverts it into data-parallel passes with one sort:
+(reference: Sim3DR/lib/rasterize_kernel.cpp:219-287). A sequential z-buffer
+is a scatter-with-max — the worst possible shape for a vector machine — so
+the TPU design inverts it into two data-parallel passes:
 
 1. **Fragment generation** (vectorized over all triangles x a fixed local
    window): every triangle evaluates barycentric coverage, interpolated
