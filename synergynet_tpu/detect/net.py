@@ -79,8 +79,11 @@ class Inception(nn.Module):
         conv = lambda f, k, p, name: BasicConv2d(
             f, k, 1, p, dtype=self.dtype, name=name)
         b0 = conv(32, 1, 0, "branch1x1")(x, train)
+        # count_include_pad=True: the reference pools with torch's
+        # F.avg_pool2d default, which divides by the full 3x3 window even
+        # at padded borders (faceboxes.py:35).
         pool = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
-                           count_include_pad=False)
+                           count_include_pad=True)
         b1 = conv(32, 1, 0, "branch1x1_2")(pool, train)
         b2 = conv(24, 1, 0, "branch3x3_reduce")(x, train)
         b2 = conv(32, 3, 1, "branch3x3")(b2, train)
