@@ -123,3 +123,152 @@ class TestFaceBoxesGoldenParity:
                                        atol=5e-3)
             np.testing.assert_allclose(got_sorted[:, :4], want[:, :4],
                                        rtol=0.02, atol=1.5)
+
+
+def _load_reference_module(relpath, name):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+needs_reference_code = pytest.mark.skipif(
+    not os.path.exists(os.path.join(
+        REF, "backbone_nets", "mobilenetv2_backbone.py")),
+    reason="reference checkout not mounted")
+
+
+@needs_reference_code
+class TestSynergyModelGoldenParity:
+    """The reference best.pth.tar is not mounted, so these run the reference
+    torch modules with their own random init and verify our importer +
+    architecture reproduce them."""
+
+    def test_mobilenet_v2_backbone(self):
+        import torch
+        import jax.numpy as jnp
+        from synergynet_tpu.nn.torch_import import (
+            convert_synergynet_state_dict)
+        from synergynet_tpu.nn import SynergyNet
+
+        mod = _load_reference_module(
+            "backbone_nets/mobilenetv2_backbone.py", "_ref_mbv2")
+        torch.manual_seed(0)
+        net_t = mod.MobileNetV2()
+        net_t.eval()
+        sd = {f"I2P.backbone.{k}": v for k, v in net_t.state_dict().items()}
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, (2, 3, 120, 120)).astype(np.float32)
+        with torch.no_grad():
+            p62_t, pool_t = net_t(torch.from_numpy(x))
+
+        variables = convert_synergynet_state_dict(sd)
+        model = SynergyNet()
+        p62_j, pool_j = model.apply(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+        np.testing.assert_allclose(np.asarray(pool_j), pool_t.numpy(),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(p62_j), p62_t.numpy(),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_synergy_mlps(self):
+        import torch
+        import jax.numpy as jnp
+        from synergynet_tpu.nn.torch_import import (
+            convert_synergynet_state_dict)
+        from synergynet_tpu.nn import MLPFor, MLPRev
+
+        mod = _load_reference_module(
+            "backbone_nets/pointnet_backbone.py", "_ref_pointnet")
+        torch.manual_seed(1)
+        for_t = mod.MLP_for(68)
+        rev_t = mod.MLP_rev(68)
+        for_t.eval()
+        rev_t.eval()
+        sd = {f"forwardDirection.{k}": v
+              for k, v in for_t.state_dict().items()}
+        sd.update({f"reverseDirection.{k}": v
+                   for k, v in rev_t.state_dict().items()})
+        variables = convert_synergynet_state_dict(sd)
+
+        rng = np.random.default_rng(2)
+        lmk = rng.normal(0, 10, (2, 3, 68)).astype(np.float32)
+        feat = rng.normal(0, 1, (2, 1280)).astype(np.float32)
+        shp = rng.normal(0, 1, (2, 40)).astype(np.float32)
+        exp = rng.normal(0, 1, (2, 10)).astype(np.float32)
+
+        with torch.no_grad():
+            res_t = for_t(torch.from_numpy(lmk), torch.from_numpy(feat),
+                          torch.from_numpy(shp), torch.from_numpy(exp))
+            p62_t = rev_t(torch.from_numpy(lmk))
+
+        fwd = MLPFor()
+        res_j = fwd.apply(
+            {"params": variables["params"]["forward_direction"],
+             "batch_stats": variables["batch_stats"]["forward_direction"]},
+            jnp.asarray(lmk.transpose(0, 2, 1)), jnp.asarray(feat),
+            jnp.asarray(shp), jnp.asarray(exp), train=False)
+        np.testing.assert_allclose(
+            np.asarray(res_j).transpose(0, 2, 1), res_t.numpy(),
+            rtol=1e-3, atol=1e-4)
+
+        rev = MLPRev()
+        p62_j = rev.apply(
+            {"params": variables["params"]["reverse_direction"],
+             "batch_stats": variables["batch_stats"]["reverse_direction"]},
+            jnp.asarray(lmk.transpose(0, 2, 1)), train=False)
+        np.testing.assert_allclose(np.asarray(p62_j), p62_t.numpy(),
+                                   rtol=1e-3, atol=1e-4)
+
+
+@needs_reference_code
+class TestLossGoldenParity:
+    def test_wing_and_param_losses(self):
+        import torch
+        import jax.numpy as jnp
+        from synergynet_tpu.losses import wing_loss, param_loss
+
+        # loss_definition.py instantiates ParamsPack at import, which needs
+        # the unmounted 3dmm_data; stub it (the losses never touch it).
+        import types
+        utils_pkg = types.ModuleType("utils")
+        params_mod = types.ModuleType("utils.params")
+        params_mod.ParamsPack = lambda: None
+        utils_pkg.params = params_mod
+        sys.modules.setdefault("utils", utils_pkg)
+        sys.modules["utils.params"] = params_mod
+        try:
+            mod = _load_reference_module("loss_definition.py", "_ref_losses")
+        finally:
+            sys.modules.pop("utils.params", None)
+            if sys.modules.get("utils") is utils_pkg:
+                sys.modules.pop("utils", None)
+        wing_t = mod.WingLoss()
+        param_t = mod.ParamLoss()
+
+        rng = np.random.default_rng(3)
+        pred = rng.normal(0, 5, (4, 3, 68)).astype(np.float32)
+        tgt = rng.normal(0, 5, (4, 3, 68)).astype(np.float32)
+        with torch.no_grad():
+            want = float(wing_t(torch.from_numpy(pred),
+                                torch.from_numpy(tgt)))
+        got = float(wing_loss(jnp.asarray(pred), jnp.asarray(tgt)))
+        assert got == pytest.approx(want, rel=1e-5)
+
+        p = rng.normal(0, 1, (4, 62)).astype(np.float32)
+        t = rng.normal(0, 1, (4, 62)).astype(np.float32)
+        with torch.no_grad():
+            want_n = param_t(torch.from_numpy(p), torch.from_numpy(t),
+                             mode="normal").numpy()
+            want_o = param_t(torch.from_numpy(p), torch.from_numpy(t),
+                             mode="only_3dmm").numpy()
+        np.testing.assert_allclose(
+            np.asarray(param_loss(jnp.asarray(p), jnp.asarray(t))),
+            want_n, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(param_loss(jnp.asarray(p), jnp.asarray(t),
+                                  mode="only_3dmm")),
+            want_o, rtol=1e-5, atol=1e-6)
