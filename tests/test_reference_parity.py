@@ -272,3 +272,88 @@ class TestLossGoldenParity:
             np.asarray(param_loss(jnp.asarray(p), jnp.asarray(t),
                                   mode="only_3dmm")),
             want_o, rtol=1e-5, atol=1e-6)
+
+
+@needs_reference_code
+class TestDecodeGoldenParity:
+    """Run the reference's actual numpy decode/pose code (utils/inference.py)
+    with its ParamsPack stubbed to this framework's asset pack, and compare
+    against the batched codec."""
+
+    @pytest.fixture(scope="class")
+    def ref_inference(self):
+        import types
+        from synergynet_tpu.mm3d import load_param_pack
+        pack = load_param_pack()
+
+        class _Pack:
+            u = np.asarray(pack.u, np.float64)
+            w_shp = np.asarray(pack.w_shp, np.float64)
+            w_exp = np.asarray(pack.w_exp, np.float64)
+            u_base = np.asarray(pack.u_base, np.float64)
+            w_shp_base = np.asarray(pack.w_shp_base, np.float64)
+            w_exp_base = np.asarray(pack.w_exp_base, np.float64)
+            param_mean = np.asarray(pack.param_mean, np.float64)
+            param_std = np.asarray(pack.param_std, np.float64)
+            keypoints = np.asarray(pack.keypoints)
+            std_size = 120
+
+        utils_pkg = types.ModuleType("utils")
+        params_mod = types.ModuleType("utils.params")
+        params_mod.ParamsPack = _Pack
+        utils_pkg.params = params_mod
+        sys.modules["utils"] = utils_pkg
+        sys.modules["utils.params"] = params_mod
+        try:
+            yield _load_reference_module("utils/inference.py", "_ref_inf")
+        finally:
+            sys.modules.pop("utils.params", None)
+            sys.modules.pop("utils", None)
+
+    def test_sparse_dense_decode(self, ref_inference, pack, rng):
+        import jax.numpy as jnp
+        from synergynet_tpu.mm3d import decode_landmarks, decode_dense
+        params = rng.normal(0, 0.6, (4, 62)).astype(np.float32)
+        roi = [30.0, 40.0, 210.0, 220.0, 0.99]
+
+        lmk_j = np.asarray(decode_landmarks(jnp.asarray(params), pack))
+        dense_j = np.asarray(decode_dense(jnp.asarray(params), pack))
+        from synergynet_tpu.mm3d import rescale_to_roi
+        lmk_roi_j = np.asarray(rescale_to_roi(
+            jnp.asarray(lmk_j), jnp.asarray([roi[:4]] * 4, np.float32)))
+
+        for i in range(4):
+            want_lmk = ref_inference.predict_sparseVert(
+                params[i].astype(np.float32), roi, transform=True)
+            np.testing.assert_allclose(lmk_roi_j[i], want_lmk,
+                                       rtol=1e-4, atol=2e-3)
+            want_crop = ref_inference.param2vert(
+                params[i].astype(np.float32), dense=True, transform=True)
+            np.testing.assert_allclose(dense_j[i], want_crop,
+                                       rtol=1e-4, atol=2e-3)
+
+    def test_pose(self, ref_inference, pack, rng):
+        import jax.numpy as jnp
+        from synergynet_tpu.mm3d import pose_from_param
+        from synergynet_tpu.mm3d.pose import rescale_pose_to_roi
+        params = rng.normal(0, 0.8, (6, 62)).astype(np.float32)
+        roi = [10.0, 20.0, 190.0, 200.0, 0.9]
+        angles_j, t3d_j = pose_from_param(jnp.asarray(params), pack)
+        t3d_roi = np.asarray(rescale_pose_to_roi(
+            t3d_j, jnp.asarray([roi[:4]] * 6, np.float32)))
+        angles_j = np.asarray(angles_j)
+        for i in range(6):
+            want_angles, want_t3d = ref_inference.predict_pose(
+                params[i].astype(np.float32), roi)
+            np.testing.assert_allclose(angles_j[i], np.asarray(want_angles),
+                                       rtol=1e-3, atol=2e-3)
+            np.testing.assert_allclose(t3d_roi[i, :2], want_t3d[:2],
+                                       rtol=1e-4, atol=2e-3)
+
+    def test_crop_img(self, ref_inference, rng):
+        from synergynet_tpu.mm3d.crop import crop_img
+        img = rng.integers(0, 255, (50, 60, 3)).astype(np.uint8)
+        for roi in ([-5.2, -3.7, 30.1, 28.9, 0.9], [10, 20, 80, 70, 0.5]):
+            want = ref_inference.crop_img(img, roi)
+            got = crop_img(img, roi)
+            np.testing.assert_array_equal(got, want)
