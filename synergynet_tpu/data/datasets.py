@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import numpy as np
 

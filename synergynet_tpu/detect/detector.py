@@ -21,7 +21,6 @@ TPU re-design:
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Tuple
 
 import jax

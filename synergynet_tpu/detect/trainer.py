@@ -10,7 +10,7 @@ synthetic bright-box dataset so the whole path is exercisable end to end.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

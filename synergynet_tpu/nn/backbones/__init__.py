@@ -21,7 +21,7 @@ from synergynet_tpu.nn.backbones.resnet import (  # noqa: F401
     ResNet, RESNET_LAYERS, make_resnet,
 )
 from synergynet_tpu.nn.backbones.resnest import (  # noqa: F401
-    ResNeSt, RESNEST_LAYERS, make_resnest,
+    ResNeSt, RESNEST_LAYERS, RESNEST_FAST_VARIANTS, make_resnest,
 )
 
 _REGISTRY: Dict[str, Callable[..., nn.Module]] = {}
@@ -60,4 +60,7 @@ for _name in RESNET_LAYERS:
     register_backbone(_name, lambda _n=_name, **kw: make_resnet(_n, **kw))
 
 for _name in RESNEST_LAYERS:
+    register_backbone(_name, lambda _n=_name, **kw: make_resnest(_n, **kw))
+
+for _name in RESNEST_FAST_VARIANTS:
     register_backbone(_name, lambda _n=_name, **kw: make_resnest(_n, **kw))

@@ -73,6 +73,7 @@ class ResNeStBottleneck(nn.Module):
     groups: int = 1
     bottleneck_width: int = 64
     avd: bool = True
+    avd_first: bool = False
     is_first: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -82,15 +83,21 @@ class ResNeStBottleneck(nn.Module):
         out_ch = self.features * 4
         avd = self.avd and (self.stride > 1 or self.is_first)
 
+        def avd_pool(z):
+            return nn.avg_pool(z, (3, 3),
+                               strides=(self.stride, self.stride),
+                               padding=((1, 1), (1, 1)),
+                               count_include_pad=False)
+
         y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(_bn(train, self.dtype)(y))
+        if avd and self.avd_first:
+            y = avd_pool(y)       # _fast ablation (reference ablation.py)
         y = SplAtConv2d(width, stride=1 if avd else self.stride,
                         groups=self.groups, radix=self.radix,
                         dtype=self.dtype)(y, train)
-        if avd:
-            y = nn.avg_pool(y, (3, 3), strides=(self.stride, self.stride),
-                            padding=((1, 1), (1, 1)),
-                            count_include_pad=False)
+        if avd and not self.avd_first:
+            y = avd_pool(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype)(y)
         y = _bn(train, self.dtype)(y)
 
@@ -118,6 +125,7 @@ class ResNeSt(nn.Module):
     groups: int = 1
     bottleneck_width: int = 64
     stem_width: int = 32
+    avd_first: bool = False
     dropout: float = 0.2
     dtype: jnp.dtype = jnp.float32
 
@@ -138,7 +146,8 @@ class ResNeSt(nn.Module):
                 stride = 2 if (stage > 0 and i == 0) else 1
                 x = ResNeStBottleneck(
                     planes, stride, self.radix, self.groups,
-                    self.bottleneck_width, is_first=(i == 0 and stage == 0),
+                    self.bottleneck_width, avd_first=self.avd_first,
+                    is_first=(i == 0 and stage == 0),
                     dtype=self.dtype)(x, train)
         feat = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)   # (B, 2048)
         param = ParamHead(dropout=self.dropout)(feat, train)
@@ -152,7 +161,23 @@ RESNEST_LAYERS = {
     "resnest269": ((3, 30, 48, 8), 64),
 }
 
+# _fast ablations (reference ResNeSt/ablation.py:38-106): (radix, groups,
+# bottleneck_width, avd_first) with the resnest50 layer schedule.
+RESNEST_FAST_VARIANTS = {
+    "resnest50_fast_1s1x64d": (1, 1, 64, True),
+    "resnest50_fast_2s1x64d": (2, 1, 64, True),
+    "resnest50_fast_4s1x64d": (4, 1, 64, True),
+    "resnest50_fast_1s2x40d": (1, 2, 40, True),
+    "resnest50_fast_2s2x40d": (2, 2, 40, True),
+    "resnest50_fast_1s4x24d": (1, 4, 24, True),
+}
+
 
 def make_resnest(name: str, **kwargs) -> ResNeSt:
+    if name in RESNEST_FAST_VARIANTS:
+        radix, groups, bw, avd_first = RESNEST_FAST_VARIANTS[name]
+        return ResNeSt(layers=(3, 4, 6, 3), stem_width=32, radix=radix,
+                       groups=groups, bottleneck_width=bw,
+                       avd_first=avd_first, **kwargs)
     layers, stem = RESNEST_LAYERS[name]
     return ResNeSt(layers=layers, stem_width=stem, **kwargs)

@@ -12,7 +12,7 @@ Q5); here the uniform ``(param62, feat)`` contract holds.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

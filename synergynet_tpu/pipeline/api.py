@@ -24,7 +24,6 @@ so only a handful of programs are ever compiled.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax

@@ -86,24 +86,50 @@ class RenderPipeline:
                            intensity_specular=0.1, specular_exp=5,
                            color_ambient=(1, 1, 1), color_directional=(1, 1, 1),
                            light_pos=(0, 0, 5), view_pos=(0, 0, 5)), **cfg}
+        self._programs = {}
 
     def update_light_pos(self, light_pos):
         self.cfg["light_pos"] = tuple(np.asarray(light_pos, np.float64))
+        self._programs.clear()
+
+    def _program(self, h, w, window, textured):
+        """One fused jitted program per (shape, window, textured):
+        normals -> Phong -> rasterize -> blend, no intermediate dispatches."""
+        import jax
+        from synergynet_tpu.render.raster import (blend_uint8 as _blend,
+                                                  rasterize_buffers as _rb)
+        key = (h, w, window, textured)
+        if key in self._programs:
+            return self._programs[key]
+        cfg = dict(self.cfg)
+
+        @jax.jit
+        def program(verts, tris, bg_u8, texture):
+            normal = get_normal(verts, tris)
+            light = compute_vertex_light(verts, normal, **cfg)
+            colors = light if texture is None else texture * light
+            zbuf, color = _rb(verts, tris, colors, h=h, w=w,
+                              win_h=window[0], win_w=window[1])
+            return _blend(bg_u8, zbuf, color, 1.0)
+
+        if not textured:
+            fn = lambda v, t, bg, _tex: program(v, t, bg, None)
+        else:
+            fn = program
+        self._programs[key] = fn
+        return fn
 
     def __call__(self, vertices, triangles, bg,
                  texture: Optional[np.ndarray] = None,
                  window=None) -> np.ndarray:
         from synergynet_tpu.render.raster import window_for
         h, w = bg.shape[:2]
-        verts = jnp.asarray(vertices, jnp.float32)
-        tris = jnp.asarray(triangles, jnp.int32)
-        normal = get_normal(verts, tris)
-        light = compute_vertex_light(verts, normal, **self.cfg)
-        colors = light if texture is None else jnp.asarray(
-            texture, jnp.float32) * light
         if window is None:
             window = window_for(np.asarray(vertices), np.asarray(triangles))
-        zbuf, color = rasterize_buffers(verts, tris, colors, h=h, w=w,
-                                        win_h=window[0], win_w=window[1])
-        return np.asarray(blend_uint8(jnp.asarray(bg, jnp.uint8), zbuf,
-                                      color, 1.0))
+        fn = self._program(h, w, tuple(window), texture is not None)
+        out = fn(jnp.asarray(vertices, jnp.float32),
+                 jnp.asarray(triangles, jnp.int32),
+                 jnp.asarray(bg, jnp.uint8),
+                 None if texture is None else jnp.asarray(texture,
+                                                          jnp.float32))
+        return np.asarray(out)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from synergynet_tpu.render.raster import (DEPTH_INIT, _fragment_windows,
+from synergynet_tpu.render.raster import (_fragment_windows,
                                           _resolve_winners, blend_uint8,
                                           window_for)
 

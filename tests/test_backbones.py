@@ -12,7 +12,7 @@ from synergynet_tpu.nn.backbones import available_backbones, make_backbone
 # One representative per family (full registry is large; the heavyweight
 # variants share their family's block code).
 FAST_ARCHS = ["mobilenet_v2", "mobilenet_1_0.5", "ghostnet", "resnet18",
-              "resnest50"]
+              "resnest50", "resnest50_fast_1s4x24d"]
 
 
 @pytest.mark.parametrize("arch", FAST_ARCHS)
@@ -30,7 +30,7 @@ def test_registry_contains_reference_families():
     have = set(available_backbones())
     for name in ("mobilenet_v2", "mobilenet_1", "ghostnet", "resnet50",
                  "resnet101", "resnext50_32x4d", "wide_resnet50_2",
-                 "resnest50", "resnest101"):
+                 "resnest50", "resnest101", "resnest50_fast_1s1x64d"):
         assert name in have, name
 
 
