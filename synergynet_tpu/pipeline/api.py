@@ -152,3 +152,112 @@ class SynergyNet3DMM:
         vertices_lst = [dense[i] for i in range(len(rects))]
         poses = [[angles[i], t3d[i]] for i in range(len(rects))]
         return pts_res, vertices_lst, poses
+
+
+class FusedFrameEngine:
+    """Single-program serving path: full frame -> faces, never leaving the
+    device between stages (the configuration the end-to-end benchmark
+    measures): detect (s2d FaceBoxes) -> square rois -> on-device bilinear
+    crop (cv2 INTER_LINEAR semantics, quirk Q7's demo-script variant) ->
+    regress -> 68-lmk + dense + pose, for a fixed faces-per-frame budget.
+
+    Host work per frame: optional downscale + canvas paste + s2d packing
+    (memcpy-class), then one dispatch.
+    """
+
+    def __init__(self, api: "SynergyNet3DMM", detector=None,
+                 max_faces: int = 8):
+        from synergynet_tpu.detect import FaceBoxes
+        self.api = api
+        self.detector = detector or FaceBoxes()
+        if not self.detector.stem_s2d:
+            raise ValueError("FusedFrameEngine requires an s2d detector")
+        self.max_faces = max_faces
+        self._program = self._build()
+
+    def _build(self):
+        from synergynet_tpu.detect.anchors import decode_boxes
+        from synergynet_tpu.detect.detector import (BGR_MEAN, CANVAS,
+                                                    NMS_THRESHOLD, NMS_TOP_K,
+                                                    VIS_THRESHOLD)
+        from synergynet_tpu.detect.nms import greedy_nms_mask
+        from synergynet_tpu.pipeline.device_crop import (crop_resize_matmul,
+                                                         square_rois)
+        api, det = self.api, self.detector
+        f_max = self.max_faces
+        ch, cw = CANVAS
+        det_mean = jnp.asarray(np.tile(BGR_MEAN, 16), jnp.float32)
+        model, pack = api.model, api.pack
+
+        @jax.jit
+        def program(variables, det_vars, frame, frame_s2d, true_hw):
+            x = frame_s2d - det_mean
+            loc, conf = det.net.apply(det_vars, x[None], train=False)
+            scores = jax.nn.softmax(conf[0], axis=-1)[:, 1]
+            boxes = decode_boxes(loc[0], det.anchors) * jnp.asarray(
+                [cw, ch, cw, ch], jnp.float32)
+            th = true_hw[0].astype(jnp.float32)
+            tw = true_hw[1].astype(jnp.float32)
+            cx = (boxes[:, 0] + boxes[:, 2]) / 2
+            cy = (boxes[:, 1] + boxes[:, 3]) / 2
+            ok = (cx < tw) & (cy < th) & (scores > 0.05)
+            scores = jnp.where(ok, scores, -1.0)
+            top_scores, idx = jax.lax.top_k(scores, NMS_TOP_K)
+            top_boxes = boxes[idx]
+            keep = greedy_nms_mask(top_boxes, top_scores > 0.0,
+                                   NMS_THRESHOLD)
+            keep &= top_scores > VIS_THRESHOLD
+            order = jnp.argsort(~keep, stable=True)[:f_max]
+            face_boxes = top_boxes[order]
+            face_scores = jnp.where(keep[order], top_scores[order], -1.0)
+            n_faces = jnp.sum(face_scores > 0)
+
+            rois = square_rois(face_boxes)
+            crops = crop_resize_matmul(frame, rois)
+            xn = (crops - 127.5) / 128.0
+            param62, _ = model.apply(variables, xn, train=False)
+            param62 = param62.astype(jnp.float32)
+            lmk = rescale_to_roi(decode_landmarks(param62, pack), rois)
+            dense = rescale_to_roi(decode_dense_fast(param62, pack), rois)
+            angles, t3d = pose_from_param(param62, pack)
+            t3d = rescale_pose_to_roi(t3d, rois)
+            return (face_scores, n_faces, rois, param62, lmk, dense,
+                    angles, t3d)
+
+        return program
+
+    def __call__(self, img_bgr: np.ndarray) -> Tuple[List, List, List]:
+        """Reference-format (pts_res, vertices_lst, poses) in original-image
+        coordinates."""
+        from synergynet_tpu.detect.detector import CANVAS, _fit_scale
+        from synergynet_tpu.detect.net import space_to_depth
+        import cv2
+
+        h, w = img_bgr.shape[:2]
+        scale = _fit_scale(h, w)
+        img_s = (cv2.resize(img_bgr, (int(scale * w), int(scale * h)))
+                 if scale != 1.0 else img_bgr)
+        hs, ws = img_s.shape[:2]
+        ch, cw = CANVAS
+        canvas = np.zeros((ch, cw, 3), np.float32)
+        canvas[:min(hs, ch), :min(ws, cw)] = img_s[:ch, :cw]
+        packed = np.ascontiguousarray(space_to_depth(canvas))
+
+        out = self._program(self.api.variables, self.detector.variables,
+                            jnp.asarray(canvas), jnp.asarray(packed),
+                            jnp.asarray([hs, ws], jnp.int32))
+        scores, n, rois, p62, lmk, dense, angles, t3d = map(np.asarray, out)
+        n = int(n)
+        inv = 1.0 / scale
+        pts, verts, poses = [], [], []
+        for i in range(n):
+            l = lmk[i].copy()
+            d = dense[i].copy()
+            l[:2] *= inv
+            d[:2] *= inv
+            t = t3d[i].copy()
+            t[:2] *= inv
+            pts.append(l)
+            verts.append(d)
+            poses.append([angles[i], t])
+        return pts, verts, poses

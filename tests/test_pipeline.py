@@ -133,3 +133,48 @@ class TestDeviceCrop:
         got = np.asarray(square_rois(jnp.asarray(rects)))
         for i in range(2):
             np.testing.assert_allclose(got[i], square_box(rects[i]))
+
+
+class TestFusedFrameEngine:
+    def test_matches_two_stage_path(self):
+        """The single-program engine must agree with the two-stage API
+        (device crop uses INTER_LINEAR like the demo script, so compare
+        against the linear interpolation path)."""
+        import jax
+        import jax.numpy as jnp
+        from synergynet_tpu.detect.detector import FaceBoxes
+        from synergynet_tpu.detect.torch_import import random_init_variables
+        from synergynet_tpu.pipeline import FusedFrameEngine, SynergyNet3DMM
+
+        # Rig the heads deterministically: zero loc (boxes == anchors,
+        # well-formed) and sparse strong conf positives.
+        v = jax.device_get(random_init_variables())
+        for i in range(3):
+            k = v["params"][f"loc{i}"]
+            k["kernel"] = jnp.zeros_like(k["kernel"])
+            k["bias"] = jnp.zeros_like(k["bias"])
+            c = v["params"][f"conf{i}"]
+            c["kernel"] = jnp.zeros_like(c["kernel"])
+            bias = np.tile([2.0, -2.0], np.shape(c["bias"])[0] // 2)
+            c["bias"] = jnp.asarray(bias, jnp.float32)
+        b = np.array(v["params"]["conf0"]["bias"])
+        b[1::42] = 6.0          # sparse strong positives
+        v["params"]["conf0"]["bias"] = jnp.asarray(b)
+        det = FaceBoxes(variables=v)
+
+        api = SynergyNet3DMM(detector=det)
+        eng = FusedFrameEngine(api, detector=det)
+        img = np.random.default_rng(3).integers(
+            0, 255, (480, 640, 3), np.uint8)
+
+        pts_f, verts_f, poses_f = eng(img)
+        rects = det(img)[:eng.max_faces]
+        pts_h, verts_h, poses_h = api.get_all_outputs(
+            img, rects=rects, interpolation="linear")
+
+        assert len(pts_f) > 0
+        assert len(pts_f) == len(pts_h)
+        for a, b2 in zip(pts_f, pts_h):
+            np.testing.assert_allclose(a, b2, rtol=1e-2, atol=0.5)
+        np.testing.assert_allclose(poses_f[0][0], poses_h[0][0],
+                                   rtol=1e-2, atol=0.2)
