@@ -174,6 +174,16 @@ class FusedFrameEngine:
             raise ValueError("FusedFrameEngine requires an s2d detector")
         self.max_faces = max_faces
         self._program = self._build()
+        self._batch_program = None
+
+    def process_batch(self, frames_f32, frames_s2d, true_hws):
+        """Batched serving: (B, 720, 1088, 3) frames (+ their s2d packing
+        and true extents) -> per-frame stacked outputs in one dispatch."""
+        if self._batch_program is None:
+            self._batch_program = _fused_batch_program(self)
+        return self._batch_program(self.api.variables,
+                                   self.detector.variables,
+                                   frames_f32, frames_s2d, true_hws)
 
     def _build(self):
         from synergynet_tpu.detect.anchors import decode_boxes
@@ -261,3 +271,10 @@ class FusedFrameEngine:
             verts.append(d)
             poses.append([angles[i], t])
         return pts, verts, poses
+
+
+def _fused_batch_program(engine: "FusedFrameEngine"):
+    """vmap the fused frame program over a leading frame axis — multi-stream
+    throughput serving (B frames x max_faces faces in one dispatch)."""
+    return jax.jit(jax.vmap(engine._program,
+                            in_axes=(None, None, 0, 0, 0)))

@@ -148,14 +148,31 @@ class Trainer:
             log.info("Testing from initial")
             self.eval_hook(self)
         history = {}
-        for epoch in range(self.start_epoch, epochs + 1):
-            bank = self.train_epoch(epoch)
-            history[epoch] = bank.averages()
-            if epoch % t.save_val_freq == 0 or epoch == epochs:
-                self.save(epoch)
-                if self.eval_hook:
-                    log.info("Val[%d]", epoch)
-                    history[epoch]["eval"] = self.eval_hook(self)
+        epoch = self.start_epoch
+        try:
+            for epoch in range(self.start_epoch, epochs + 1):
+                bank = self.train_epoch(epoch)
+                history[epoch] = bank.averages()
+                if epoch % t.save_val_freq == 0 or epoch == epochs:
+                    self.save(epoch)
+                    if self.eval_hook:
+                        log.info("Val[%d]", epoch)
+                        history[epoch]["eval"] = self.eval_hook(self)
+        except Exception:
+            # Failure containment: persist the live state so the run can
+            # resume (the reference loses everything since the last
+            # periodic torch.save).
+            path = os.path.join(t.snapshot_dir, "synergynet_emergency.npz")
+            try:
+                save_checkpoint(path, jax.device_get(self.state),
+                                step=int(self.state.step),
+                                metadata={"epoch": epoch - 1,
+                                          "emergency": True,
+                                          "arch": self.cfg.model.arch})
+                log.error("training failed; emergency checkpoint at %s", path)
+            except Exception:
+                log.exception("emergency checkpoint failed")
+            raise
         return history
 
 

@@ -178,3 +178,31 @@ class TestFusedFrameEngine:
             np.testing.assert_allclose(a, b2, rtol=1e-2, atol=0.5)
         np.testing.assert_allclose(poses_f[0][0], poses_h[0][0],
                                    rtol=1e-2, atol=0.2)
+
+
+class TestBatchedFrames:
+    def test_process_batch_matches_single(self):
+        import jax
+        import jax.numpy as jnp
+        from synergynet_tpu.detect.detector import CANVAS, FaceBoxes
+        from synergynet_tpu.detect.net import space_to_depth
+        from synergynet_tpu.detect.torch_import import random_init_variables
+        from synergynet_tpu.pipeline import FusedFrameEngine, SynergyNet3DMM
+
+        det = FaceBoxes(variables=random_init_variables())
+        api = SynergyNet3DMM(detector=det)
+        eng = FusedFrameEngine(api, detector=det, max_faces=4)
+        ch, cw = CANVAS
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (2, ch, cw, 3)).astype(np.float32)
+        packed = np.ascontiguousarray(space_to_depth(frames))
+        hws = np.asarray([[ch, cw]] * 2, np.int32)
+
+        batched = eng.process_batch(jnp.asarray(frames), jnp.asarray(packed),
+                                    jnp.asarray(hws))
+        single = eng._program(api.variables, det.variables,
+                              jnp.asarray(frames[1]), jnp.asarray(packed[1]),
+                              jnp.asarray(hws[1]))
+        for b, s in zip(batched, single):
+            np.testing.assert_allclose(np.asarray(b)[1], np.asarray(s),
+                                       rtol=1e-3, atol=1e-3)

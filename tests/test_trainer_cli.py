@@ -137,3 +137,29 @@ class TestUVTextureCLI:
         assert os.path.exists(overlay)
         out = cv2.imread(overlay)
         assert out is not None and (out != img).any()
+
+
+class TestEmergencyCheckpoint:
+    def test_saved_on_failure(self, tmp_path):
+        from synergynet_tpu.train import Trainer
+        cfg = tiny_cfg(tmp_path, epochs=2)
+        tr = Trainer(cfg)
+
+        calls = {"n": 0}
+        orig = tr.train_epoch
+
+        def boom(epoch):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected fault")
+            return orig(epoch)
+        tr.train_epoch = boom
+
+        with pytest.raises(RuntimeError):
+            tr.fit()
+        emergency = os.path.join(cfg.train.snapshot_dir,
+                                 "synergynet_emergency.npz")
+        assert os.path.exists(emergency)
+        from synergynet_tpu.core.checkpoint import checkpoint_metadata
+        meta = checkpoint_metadata(emergency)
+        assert meta.get("emergency") is True
