@@ -34,10 +34,13 @@ def build_native(force: bool = False) -> str:
             and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
         return _LIB_PATH
     tmp = _LIB_PATH + f".tmp{os.getpid()}.so"
-    subprocess.run(
-        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-         _SRC, "-o", tmp],
-        check=True, capture_output=True)
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+    try:
+        subprocess.run(base[:2] + ["-march=native"] + base[2:],
+                       check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        # Portable fallback for toolchains without -march=native.
+        subprocess.run(base, check=True, capture_output=True)
     os.replace(tmp, _LIB_PATH)
     return _LIB_PATH
 
