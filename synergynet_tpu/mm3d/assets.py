@@ -263,3 +263,52 @@ def load_param_pack(path: str | None = None, *, synthetic_seed: int = 0) -> Para
         raise FileNotFoundError(f"3DMM asset bundle not found: {key}")
     _PACK_CACHE[key] = pack
     return pack
+
+
+def convert_raw_bfm(mat_path: str, param_whitening_path: str | None = None,
+                    tri_path: str | None = None, n_shp: int = N_SHP,
+                    n_exp: int = N_EXP) -> dict:
+    """Convert a raw Basel Face Model ``.mat`` (the ``model_refine``
+    layout) into this framework's asset dict — the equivalent of the
+    reference's ``load_bfm`` trimming recipe (reference utils/io.py:58-104):
+    shape basis truncated to 40 columns, expression to 10, triangles and
+    keypoints to 0-based, and the 68 keypoint indices expanded to
+    interleaved (3k, 3k+1, 3k+2) row triplets.
+    """
+    import pickle
+
+    import scipy.io as sio
+
+    c = sio.loadmat(mat_path)
+    model = c["model_refine"][0, 0]
+    w_shp = model["w"].astype(np.float32)[:, :n_shp]
+    w_exp = model["w_exp"].astype(np.float32)[:, :n_exp]
+    u_shp = model["mu_shape"].astype(np.float32).reshape(-1, 1)
+    u_exp = model["mu_exp"].astype(np.float32).reshape(-1, 1)
+
+    kp = model["keypoints"].astype(np.int64) - 1
+    keypoints = np.concatenate(
+        (3 * kp, 3 * kp + 1, 3 * kp + 2), axis=0).T.flatten().astype(np.int32)
+
+    out = {
+        "u_shp": u_shp, "u_exp": u_exp, "w_shp": w_shp, "w_exp": w_exp,
+        "keypoints": keypoints,
+    }
+    if tri_path:
+        import scipy.io as sio2
+        out["tri"] = (sio2.loadmat(tri_path)["tri"] - 1).astype(np.int32)
+    elif "tri" in model.dtype.names:
+        out["tri"] = (model["tri"].astype(np.int64) - 1).astype(np.int32)
+    else:
+        out["tri"] = np.zeros((3, 0), np.int32)
+    if param_whitening_path:
+        with open(param_whitening_path, "rb") as f:
+            meta = pickle.load(f)
+        out["param_mean"] = np.asarray(meta["param_mean"], np.float32)
+        out["param_std"] = np.asarray(meta["param_std"], np.float32)
+    else:
+        out["param_mean"] = np.zeros(N_PARAM, np.float32)
+        out["param_mean"][:12] = np.array(
+            [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], np.float32)
+        out["param_std"] = np.ones(N_PARAM, np.float32)
+    return out

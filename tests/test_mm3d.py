@@ -185,3 +185,36 @@ class TestAssets:
         v = np.asarray(decode_dense(jnp.zeros((1, 62)), pack))[0]
         assert v[0].min() > -5 and v[0].max() < STD_SIZE + 5
         assert v[1].min() > -5 and v[1].max() < STD_SIZE + 5
+
+
+class TestRawBFMConvert:
+    def test_trim_recipe(self, tmp_path):
+        """Fabricate a raw BFM-layout .mat and check the trimming recipe
+        (column truncation, 0-based indices, keypoint triplets)."""
+        import scipy.io as sio
+        from synergynet_tpu.mm3d.assets import convert_raw_bfm, pack_from_arrays
+
+        rng = np.random.default_rng(0)
+        nver = 30
+        model = {
+            "w": rng.normal(0, 1, (nver * 3, 60)).astype(np.float32),
+            "w_exp": rng.normal(0, 1, (nver * 3, 29)).astype(np.float32),
+            "mu_shape": rng.normal(0, 1, (nver * 3, 1)).astype(np.float32),
+            "mu_exp": rng.normal(0, 1, (nver * 3, 1)).astype(np.float32),
+            "tri": rng.integers(1, nver + 1, (3, 40)).astype(np.float64),
+            "keypoints": (rng.choice(nver, 5, replace=False) + 1
+                          )[None, :].astype(np.float64),
+        }
+        p = str(tmp_path / "bfm.mat")
+        sio.savemat(p, {"model_refine": model})
+        d = convert_raw_bfm(p)
+        assert d["w_shp"].shape == (nver * 3, 40)
+        assert d["w_exp"].shape == (nver * 3, 10)
+        assert d["tri"].min() >= 0 and d["tri"].max() < nver
+        kp = d["keypoints"]
+        assert kp.shape == (15,)
+        # interleaved triplets 3k, 3k+1, 3k+2
+        assert ((kp.reshape(5, 3)[:, 1] - kp.reshape(5, 3)[:, 0]) == 1).all()
+        assert ((kp.reshape(5, 3)[:, 2] - kp.reshape(5, 3)[:, 1]) == 1).all()
+        pack = pack_from_arrays(d)
+        assert pack.w_shp_base.shape == (15, 40)
