@@ -76,6 +76,11 @@ def make_train_step(model: SynergyNet, pack: ParamPack,
                    target62: jnp.ndarray, rng: jax.Array
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         dropout_rng = jax.random.fold_in(rng, state.step)
+        if images.dtype == jnp.uint8:
+            # Reference input normalization (utils/ddfa.py Normalize:
+            # (x - 127.5) / 128), fused on device; float inputs are assumed
+            # pre-normalized.
+            images = (images.astype(jnp.float32) - 127.5) / 128.0
 
         def loss_fn(params):
             total, losses, updates = synergy_criterion(

@@ -139,3 +139,27 @@ class TestTPDenseDecode:
         np.testing.assert_allclose(np.asarray(checksum),
                                    np.asarray(dense).sum(2), rtol=1e-4,
                                    atol=1e-2)
+
+
+class TestInputNormalization:
+    def test_uint8_batch_is_normalized(self, pack):
+        """uint8 batches must be normalized like the reference's Normalize
+        ((x - 127.5) / 128) before hitting the model: a constant-127 image
+        and its pre-normalized float equivalent give identical losses."""
+        import jax
+        import jax.numpy as jnp
+        from synergynet_tpu.nn import SynergyNet
+        from synergynet_tpu.train import (create_train_state, make_optimizer,
+                                          make_train_step, step_decay_lr)
+        model = SynergyNet()
+        opt = make_optimizer(step_decay_lr())
+        state = create_train_state(model, jax.random.PRNGKey(0), opt)
+        step = make_train_step(model, pack, opt)
+        rng = jax.random.PRNGKey(1)
+        imgs_u8 = jnp.full((2, 120, 120, 3), 200, jnp.uint8)
+        imgs_f = (jnp.full((2, 120, 120, 3), 200.0) - 127.5) / 128.0
+        tgt = jnp.zeros((2, 62), jnp.float32)
+        _, m1 = step(state, imgs_u8, tgt, rng)
+        _, m2 = step(state, imgs_f, tgt, rng)
+        assert float(m1["loss_total"]) == pytest.approx(
+            float(m2["loss_total"]), rel=1e-6)
