@@ -53,6 +53,7 @@ class DataConfig:
     jitter: Tuple[float, float, float] = (0.4, 0.4, 0.4)
     border: int = 5
     occlusion_prob: float = 0.01
+    device_augment: bool = False   # fuse augmentation into the train step
 
 
 @dataclass

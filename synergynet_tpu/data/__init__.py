@@ -9,3 +9,4 @@ from synergynet_tpu.data.loader import PrefetchLoader, shard_batches  # noqa: F4
 from synergynet_tpu.data.synthetic import (  # noqa: F401
     make_crops_with_params, make_synthetic_aflw2000, sample_params,
 )
+from synergynet_tpu.data.device_augment import device_augment  # noqa: F401

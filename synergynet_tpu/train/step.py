@@ -65,18 +65,27 @@ def create_train_state(model: SynergyNet, rng: jax.Array,
 
 
 def make_train_step(model: SynergyNet, pack: ParamPack,
-                    optimizer: optax.GradientTransformation):
+                    optimizer: optax.GradientTransformation,
+                    augment: Callable | None = None):
     """Returns ``step(state, images, target62, rng) -> (state, metrics)``.
 
     ``metrics['skipped']`` is 1.0 when the step was skipped due to non-finite
     gradients (the reference's NaN flag, main_train.py:139-142).
+    ``augment``: optional device-side batched augmentation
+    ``(images_u8, key) -> float [0, 255]`` fused into the step
+    (:func:`synergynet_tpu.data.device_augment.device_augment`).
     """
 
     def train_step(state: TrainState, images: jnp.ndarray,
                    target62: jnp.ndarray, rng: jax.Array
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         dropout_rng = jax.random.fold_in(rng, state.step)
-        if images.dtype == jnp.uint8:
+        if augment is not None:
+            aug_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, state.step), 7)
+            images = augment(images, aug_rng)
+            images = (images - 127.5) / 128.0
+        elif images.dtype == jnp.uint8:
             # Reference input normalization (utils/ddfa.py Normalize:
             # (x - 127.5) / 128), fused on device; float inputs are assumed
             # pre-normalized.
@@ -118,9 +127,9 @@ def make_train_step(model: SynergyNet, pack: ParamPack,
 
 def jit_train_step(model: SynergyNet, pack: ParamPack,
                    optimizer: optax.GradientTransformation,
-                   mesh) -> Callable:
+                   mesh, augment: Callable | None = None) -> Callable:
     """jit the train step over a mesh: batch sharded on data, state replicated."""
-    step = make_train_step(model, pack, optimizer)
+    step = make_train_step(model, pack, optimizer, augment=augment)
     rep = meshlib.replicated(mesh)
     bsh = meshlib.batch_sharding(mesh)
     return jax.jit(

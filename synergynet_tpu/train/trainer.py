@@ -49,7 +49,8 @@ log = logging.getLogger("synergynet_tpu.train")
 
 def build_dataset(cfg: Config):
     d = cfg.data
-    transform = TrainTransform(d.jitter, d.border, d.occlusion_prob)
+    transform = (None if d.device_augment
+                 else TrainTransform(d.jitter, d.border, d.occlusion_prob))
     if d.filelists_train and os.path.exists(d.filelists_train):
         return FileListDataset(d.root, d.filelists_train, d.param_fp_train,
                                transform=transform)
@@ -82,8 +83,16 @@ class Trainer:
             weight_decay=t.weight_decay)
         self.state = create_train_state(
             self.model, jax.random.PRNGKey(t.seed), self.optimizer)
+        augment = None
+        if self.cfg.data.device_augment:
+            from functools import partial
+            from synergynet_tpu.data.device_augment import device_augment
+            d = self.cfg.data
+            augment = partial(device_augment, jitter=tuple(d.jitter),
+                              border=d.border,
+                              occlusion_prob=d.occlusion_prob)
         self.step_fn = jit_train_step(self.model, self.pack, self.optimizer,
-                                      self.mesh)
+                                      self.mesh, augment=augment)
         self.state = meshlib.replicate(self.mesh, self.state)
         self.eval_hook = eval_hook
         self.start_epoch = 1

@@ -162,3 +162,65 @@ class TestMultiHostSharding:
         # all 40 samples appear exactly once across the 4 hosts
         uniq = np.unique(stacked, axis=0)
         assert len(uniq) == 40
+
+
+class TestDeviceAugment:
+    def test_matches_host_ops_statistically(self):
+        """Each device op at a fixed factor must match its host counterpart
+        within float-vs-PIL rounding (<= 1.5 LSB)."""
+        import jax.numpy as jnp
+        from synergynet_tpu.data.device_augment import (_brightness,
+                                                        _contrast,
+                                                        _saturation)
+        from synergynet_tpu.data.transforms import (adjust_brightness,
+                                                    adjust_contrast,
+                                                    adjust_saturation)
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (1, 24, 24, 3)).astype(np.uint8)
+        f = jnp.asarray([1.3])
+        pairs = [(_brightness, adjust_brightness),
+                 (_contrast, adjust_contrast),
+                 (_saturation, adjust_saturation)]
+        for dev, host in pairs:
+            got = np.clip(np.asarray(
+                dev(jnp.asarray(img, jnp.float32), f))[0], 0, 255)
+            want = host(img[0], 1.3).astype(np.float32)
+            assert np.abs(got - want).max() <= 1.5, dev.__name__
+
+    def test_border_and_shapes(self):
+        import jax
+        import jax.numpy as jnp
+        from synergynet_tpu.data import device_augment
+        rng = np.random.default_rng(1)
+        imgs = jnp.asarray(rng.integers(1, 255, (4, 120, 120, 3)), jnp.uint8)
+        out = np.asarray(device_augment(imgs, jax.random.PRNGKey(0)))
+        assert out.shape == (4, 120, 120, 3)
+        assert (out[:, :5] == 0).all() and (out[:, :, -5:] == 0).all()
+        assert out[:, 5:-5, 5:-5].max() > 0
+        assert out.min() >= 0 and out.max() <= 255
+
+    def test_occlusion_fires_at_prob_one(self):
+        import jax
+        import jax.numpy as jnp
+        from synergynet_tpu.data import device_augment
+        imgs = jnp.full((8, 40, 40, 3), 200, jnp.uint8)
+        out = np.asarray(device_augment(imgs, jax.random.PRNGKey(2),
+                                        occlusion_prob=1.0, border=0))
+        # every sample lost some region beyond the (disabled) border
+        zero_frac = (out == 0).all(-1).mean(axis=(1, 2))
+        assert (zero_frac > 0.2).all()
+
+    def test_trainer_device_augment_path(self, tmp_path):
+        from synergynet_tpu.core import Config
+        from synergynet_tpu.train import Trainer
+        cfg = Config()
+        cfg.model.compute_dtype = "float32"
+        cfg.train.batch_size = 8
+        cfg.train.epochs = 1
+        cfg.train.save_val_freq = 100
+        cfg.train.num_workers = 2
+        cfg.train.snapshot_dir = str(tmp_path)
+        cfg.data.synthetic_size = 16
+        cfg.data.device_augment = True
+        hist = Trainer(cfg).fit()
+        assert np.isfinite(hist[1]["loss_total"])
