@@ -261,14 +261,15 @@ class FusedFrameEngine:
         inv = 1.0 / scale
         pts, verts, poses = [], [], []
         for i in range(n):
-            l = lmk[i].copy()
-            d = dense[i].copy()
-            l[:2] *= inv
-            d[:2] *= inv
+            # Canvas -> original coordinates: x, y by 1/scale; z too — the
+            # decode scaled z by the roi extent measured in canvas pixels,
+            # and the reference's z scale is measured in original pixels
+            # (utils/inference.py:136). t3d z stays unscaled like the
+            # reference's predict_pose (utils/inference.py:151-153).
+            pts.append(lmk[i] * inv)
+            verts.append(dense[i] * inv)
             t = t3d[i].copy()
             t[:2] *= inv
-            pts.append(l)
-            verts.append(d)
             poses.append([angles[i], t])
         return pts, verts, poses
 

@@ -206,3 +206,41 @@ class TestBatchedFrames:
         for b, s in zip(batched, single):
             np.testing.assert_allclose(np.asarray(b)[1], np.asarray(s),
                                        rtol=1e-3, atol=1e-3)
+
+
+class TestFusedEngineScaling:
+    def test_downscaled_frame_coordinates(self):
+        """A frame larger than the canvas must come back in original-image
+        coordinates, z included (matching the two-stage path)."""
+        import jax
+        import jax.numpy as jnp
+        from synergynet_tpu.detect.detector import FaceBoxes
+        from synergynet_tpu.detect.torch_import import random_init_variables
+        from synergynet_tpu.pipeline import FusedFrameEngine, SynergyNet3DMM
+
+        v = jax.device_get(random_init_variables())
+        for i in range(3):
+            k = v["params"][f"loc{i}"]
+            k["kernel"] = jnp.zeros_like(k["kernel"])
+            k["bias"] = jnp.zeros_like(k["bias"])
+            c = v["params"][f"conf{i}"]
+            c["kernel"] = jnp.zeros_like(c["kernel"])
+            bias = np.tile([2.0, -2.0], np.shape(c["bias"])[0] // 2)
+            c["bias"] = jnp.asarray(bias, jnp.float32)
+        b = np.array(v["params"]["conf0"]["bias"])
+        b[1::42] = 6.0
+        v["params"]["conf0"]["bias"] = jnp.asarray(b)
+        det = FaceBoxes(variables=v)
+
+        api = SynergyNet3DMM(detector=det)
+        eng = FusedFrameEngine(api, detector=det)
+        img = np.random.default_rng(4).integers(
+            0, 255, (1440, 1920, 3), np.uint8)   # 2x the canvas -> scale 0.5
+
+        pts_f, verts_f, poses_f = eng(img)
+        rects = det(img)[:eng.max_faces]
+        pts_h, verts_h, _ = api.get_all_outputs(img, rects=rects,
+                                                interpolation="linear")
+        assert len(pts_f) == len(pts_h) > 0
+        for a, b2 in zip(pts_f, pts_h):
+            np.testing.assert_allclose(a, b2, rtol=2e-2, atol=1.0)
