@@ -82,3 +82,26 @@ def tp_dense_decode(mesh, pack: ParamPack) -> Callable:
         out_shardings=(NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS)),
                        NamedSharding(mesh, P(DATA_AXIS))),
     )
+
+
+def shard_fused_engine(engine, mesh) -> Callable:
+    """Data-parallel multi-frame serving: the FusedFrameEngine's batched
+    program with the frame axis sharded over the mesh's ``data`` axis —
+    each chip detects/regresses its own frames; no collectives needed.
+
+    Returns ``run(frames (B, H, W, 3) f32, frames_s2d, true_hws)`` with B
+    divisible by the data-axis size.
+    """
+    from synergynet_tpu.pipeline.api import _fused_batch_program
+
+    program = _fused_batch_program(engine)
+    bsh = NamedSharding(mesh, P(DATA_AXIS))
+
+    def run(frames, frames_s2d, true_hws):
+        frames = jax.device_put(frames, bsh)
+        frames_s2d = jax.device_put(frames_s2d, bsh)
+        true_hws = jax.device_put(true_hws, bsh)
+        return program(engine.api.variables, engine.detector.variables,
+                       frames, frames_s2d, true_hws)
+
+    return run

@@ -163,3 +163,37 @@ class TestInputNormalization:
         _, m2 = step(state, imgs_f, tgt, rng)
         assert float(m1["loss_total"]) == pytest.approx(
             float(m2["loss_total"]), rel=1e-6)
+
+
+class TestShardedServing:
+    def test_fused_engine_over_data_axis(self, pack):
+        """Multi-frame serving sharded over the 8-device CPU mesh matches
+        the single-device batched program."""
+        import jax
+        import jax.numpy as jnp
+        from synergynet_tpu.core import make_mesh
+        from synergynet_tpu.detect.detector import CANVAS, FaceBoxes
+        from synergynet_tpu.detect.net import space_to_depth
+        from synergynet_tpu.detect.torch_import import random_init_variables
+        from synergynet_tpu.parallel import shard_fused_engine
+        from synergynet_tpu.pipeline import FusedFrameEngine, SynergyNet3DMM
+
+        det = FaceBoxes(variables=random_init_variables())
+        api = SynergyNet3DMM(detector=det, pack=pack)
+        eng = FusedFrameEngine(api, detector=det, max_faces=2)
+        mesh = make_mesh(n_model=1)
+        run = shard_fused_engine(eng, mesh)
+
+        ch, cw = CANVAS
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (8, ch, cw, 3)).astype(np.float32)
+        packed = np.ascontiguousarray(space_to_depth(frames))
+        hws = np.asarray([[ch, cw]] * 8, np.int32)
+
+        sharded = run(jnp.asarray(frames), jnp.asarray(packed),
+                      jnp.asarray(hws))
+        local = eng.process_batch(jnp.asarray(frames), jnp.asarray(packed),
+                                  jnp.asarray(hws))
+        for a, b in zip(sharded, local):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-3)
