@@ -357,3 +357,58 @@ class TestDecodeGoldenParity:
             want = ref_inference.crop_img(img, roi)
             got = crop_img(img, roi)
             np.testing.assert_array_equal(got, want)
+
+
+@needs_reference_code
+class TestAugmentGoldenParity:
+    def test_centercrop_patterns_and_border(self):
+        """Our BorderOcclusion must reproduce the reference CenterCrop's
+        border zeroing and all 7 occlusion patterns (incl. the rdown==lup
+        quirk Q2) on the same input."""
+        import types
+        import torch
+
+        # ddfa.py does `from .io import ...` / `from .params import *`.
+        utils_pkg = types.ModuleType("utils")
+        utils_pkg.__path__ = [os.path.join(REF, "utils")]
+        io_mod = types.ModuleType("utils.io")
+        io_mod._numpy_to_tensor = lambda x: torch.from_numpy(x)
+        io_mod._load_cpu = lambda p: np.load(p)
+        params_mod = types.ModuleType("utils.params")
+        params_mod.__all__ = []
+        sys.modules["utils"] = utils_pkg
+        sys.modules["utils.io"] = io_mod
+        sys.modules["utils.params"] = params_mod
+        try:
+            import importlib.util
+            spec = importlib.util.spec_from_file_location(
+                "utils.ddfa", os.path.join(REF, "utils", "ddfa.py"))
+            ddfa = importlib.util.module_from_spec(spec)
+            sys.modules["utils.ddfa"] = ddfa
+            spec.loader.exec_module(ddfa)
+        finally:
+            for m in ("utils.ddfa", "utils.params", "utils.io", "utils"):
+                sys.modules.pop(m, None)
+
+        from synergynet_tpu.data import BorderOcclusion
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(1, 255, (20, 24, 3), np.uint8)
+        chw = torch.from_numpy(
+            img.transpose(2, 0, 1).astype(np.float32))
+
+        ref_cc = ddfa.CenterCrop(5, mode="test")
+        # border zeroing (mode='test' path)
+        want = ref_cc(chw).numpy().transpose(1, 2, 0)
+        got = BorderOcclusion(5, prob=0.0)(img).astype(np.float32)
+        np.testing.assert_array_equal(got, want)
+
+        # the 7 occlusion patterns
+        names = {1: "lup", 2: "rup", 3: "ldown", 4: "rdown",
+                 5: "lhalf", 6: "rhalf", 7: "center"}
+        train_cc = ddfa.CenterCrop(5, mode="train")
+        for idx, name in names.items():
+            want = train_cc.switcher[idx](chw, 20, 24).numpy().transpose(
+                1, 2, 0)
+            got = BorderOcclusion._apply_pattern(img, name).astype(np.float32)
+            np.testing.assert_array_equal(got, want, err_msg=name)
