@@ -412,3 +412,57 @@ class TestAugmentGoldenParity:
                 1, 2, 0)
             got = BorderOcclusion._apply_pattern(img, name).astype(np.float32)
             np.testing.assert_array_equal(got, want, err_msg=name)
+
+
+@needs_reference_code
+class TestNMEGoldenParity:
+    def test_calc_nme_and_report(self, pack, rng):
+        """Our NME math + report must match the reference benchmark module
+        executed with its data loader stubbed to the synthetic eval pack."""
+        import types
+        from synergynet_tpu.data import make_synthetic_aflw2000
+        from synergynet_tpu.evals import analyze_by_yaw, calc_nme
+        from synergynet_tpu.evals.nme import format_nme_report
+
+        ep = make_synthetic_aflw2000(64, pack, seed=9)
+        # deterministic yaw spread covering all three bins (binning is the
+        # only thing the yaw list drives here; the reference's headline is
+        # NaN when a bin is empty, where ours skips empty bins)
+        ep["yaws"] = np.linspace(-85, 85, 64).astype(np.float32)
+        files = {
+            "AFLW2000-3D.pose.npy": ep["yaws"],
+            "AFLW2000-3D.pts68.npy": ep["pts68_gt"],
+            "AFLW2000-3D-Reannotated.pts68.npy": ep["pts68_gt"],
+            "AFLW2000-3D_crop.roi_box.npy": ep["roi_boxes"],
+        }
+        utils_pkg = types.ModuleType("utils")
+        io_mod = types.ModuleType("utils.io")
+        io_mod._load = lambda p: files[os.path.basename(p)]
+        utils_pkg.io = io_mod
+        sys.modules["utils"] = utils_pkg
+        sys.modules["utils.io"] = io_mod
+        try:
+            ref = _load_reference_module("benchmark_aflw2000.py", "_ref_nme")
+        finally:
+            sys.modules.pop("utils.io", None)
+            sys.modules.pop("utils", None)
+
+        # noisy crop-space predictions (reference mutates them in place)
+        import jax.numpy as jnp
+        from synergynet_tpu.mm3d import decode_landmarks
+        lmk = np.asarray(decode_landmarks(jnp.asarray(ep["params"]), pack))
+        fits = lmk[:, :2, :] + rng.normal(0, 2, lmk[:, :2, :].shape)
+        fits = fits.astype(np.float32)
+
+        want_nme = ref.calc_nme([f.copy() for f in fits], option="ori")
+        got_nme = calc_nme(fits, ep["pts68_gt"], ep["roi_boxes"])
+        np.testing.assert_allclose(got_nme, want_nme, rtol=1e-4, atol=1e-6)
+
+        want_msg = ref.ana_msg(want_nme)
+        got = analyze_by_yaw(got_nme, ep["yaws"])
+        got_msg = format_nme_report(got)
+        # identical numbers line by line (note: synthetic yaw spread covers
+        # all three bins at n=64 pose_spread)
+        for a, b in zip(got_msg.strip().splitlines(),
+                        want_msg.strip().splitlines()):
+            assert a == b, (a, b)
