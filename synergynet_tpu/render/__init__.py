@@ -1,4 +1,4 @@
-"""Rendering: sort-based z-buffer rasterizer, normals, Phong lighting,
+"""Rendering: data-parallel z-buffer rasterizer, normals, Phong lighting,
 overlay composition — the TPU-native Sim3DR."""
 
 from synergynet_tpu.render.raster import (  # noqa: F401

@@ -7,7 +7,7 @@ pixel, find the visible triangle, interpolate its corners' UV coordinates
 with the barycentric weights, and sample the texture image (nearest or
 bilinear).
 
-Built on the same sort-based visibility resolve as the color rasterizer:
+Built on the same segment-reduction visibility resolve as the color rasterizer:
 instead of interpolating per-vertex colors through the sort, the fragment
 carries its interpolated (u, v) texture coordinates, and the winning
 fragment's UVs drive one final texture sample per drawn pixel.
