@@ -7,7 +7,9 @@ from synergynet_tpu.detect.anchors import (  # noqa: F401
 from synergynet_tpu.detect.nms import (  # noqa: F401
     greedy_nms_mask, nms_indices, pairwise_iou,
 )
-from synergynet_tpu.detect.detector import FaceBoxes  # noqa: F401
+from synergynet_tpu.detect.detector import (  # noqa: F401
+    FaceBoxes, select_detections,
+)
 from synergynet_tpu.detect.torch_import import (  # noqa: F401
     load_faceboxes_variables, convert_torch_state_dict,
 )

@@ -98,10 +98,11 @@ def soft_nms(dets, sigma: float = 0.5, iou_threshold: float = 0.3,
     dets = np.asarray(dets, np.float32).copy()
     out = []
     while dets.shape[0]:
+        # The reference picks the max-score box unconditionally (its only
+        # discard rule is the post-decay `< threshold` test below,
+        # cpu_nms.pyx:150-158), so no early break on the best score here.
         i = int(np.argmax(dets[:, 4]))
         best = dets[i].copy()
-        if best[4] < score_threshold:
-            break
         out.append(best)
         dets = np.delete(dets, i, axis=0)
         if not dets.shape[0]:
@@ -120,8 +121,11 @@ def soft_nms(dets, sigma: float = 0.5, iou_threshold: float = 0.3,
             decay = np.where(iou > iou_threshold, 1.0 - iou, 1.0)
         elif method == "gaussian":
             decay = np.exp(-(iou * iou) / sigma)
-        else:                                   # hard NMS
-            decay = (iou < iou_threshold).astype(np.float32)
-        dets[:, 4] *= decay
+        else:                                   # hard NMS: ov > Nt -> 0
+            decay = np.where(iou > iou_threshold, 0.0, 1.0)
+        # No-overlap boxes are untouched in the reference (the decay only
+        # applies inside the iw/ih > 0 branch, cpu_nms.pyx:126-148) — decay
+        # is 1.0 at iou == 0 for every method, so a plain multiply matches.
+        dets[:, 4] *= decay.astype(np.float32)
         dets = dets[dets[:, 4] >= score_threshold]
     return np.asarray(out, np.float32).reshape(-1, 5)

@@ -15,6 +15,32 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def derive_skip_indices(yaws_deg: np.ndarray,
+                        limit: float = 99.0) -> np.ndarray:
+    """Indices of samples excluded from FOE: |yaw| > 99 deg (FSA-Net rule).
+
+    The reference ships these as a precomputed file
+    (``ALFW2000-3D_pose_3ANG_skip.npy``, benchmark.py:187-195) but the rule
+    it encodes is just the yaw cut documented at benchmark.py:183; this
+    derives them from the ground-truth yaw list
+    (``AFLW2000-3D.pose.npy``, benchmark_aflw2000.py:14) so the eval runs
+    without the preprocessed artifact.
+    """
+    yaws = np.asarray(yaws_deg, np.float64).reshape(-1)
+    return np.nonzero(np.abs(yaws) > limit)[0]
+
+
+def exclude_by_yaw(gt_angles_pyr_all: np.ndarray,
+                   yaws_deg: np.ndarray,
+                   limit: float = 99.0) -> np.ndarray:
+    """Full (N, 3) GT pose -> the kept-rows array the reference precomputes
+    as ``ALFW2000-3D_pose_3ANG_excl.npy`` (benchmark.py:187-193)."""
+    gt = np.asarray(gt_angles_pyr_all, np.float64)
+    keep = np.setdiff1d(np.arange(gt.shape[0]),
+                        derive_skip_indices(yaws_deg, limit))
+    return gt[keep]
+
+
 def foe_mae(pred_angles: np.ndarray, gt_angles_pyr: np.ndarray,
             skip_indices: Optional[np.ndarray] = None) -> Dict:
     """pred_angles: (N, 3) decoded [rx, ry, rz] (degrees) for ALL samples;

@@ -161,3 +161,45 @@ def oracle_get_normal(vertices, triangles):
             acc[k] += tri_n[i]
     with np.errstate(invalid="ignore", divide="ignore"):
         return acc / np.sqrt((acc ** 2).sum(1))[:, None]
+
+
+def oracle_soft_nms(boxes, sigma=0.5, nt=0.3, threshold=0.001,
+                    method="gaussian"):
+    """Faithful simulation of the reference's in-place selection-sort
+    soft-NMS (FaceBoxes/utils/nms/cpu_nms.pyx:70-163): position i receives
+    the max-score box among [i, N); the rest are decayed against it; boxes
+    whose decayed score drops below ``threshold`` are swapped out with the
+    last live box and N shrinks. Returns the surviving boxes[:N] (pick
+    order), which is what the pyx's ``keep = range(N)`` indexes."""
+    b = np.asarray(boxes, np.float32).copy()
+    m = {"hard": 0, "linear": 1, "gaussian": 2}[method]
+    n = b.shape[0]
+    i = 0
+    while i < n:
+        maxpos = i + int(np.argmax(b[i:n, 4]))
+        b[[i, maxpos]] = b[[maxpos, i]]
+        tx1, ty1, tx2, ty2 = b[i, :4]
+        pos = i + 1
+        while pos < n:
+            x1, y1, x2, y2, s = b[pos]
+            iw = min(tx2, x2) - max(tx1, x1) + 1
+            ih = min(ty2, y2) - max(ty1, y1) + 1
+            if iw > 0 and ih > 0:
+                ua = ((tx2 - tx1 + 1) * (ty2 - ty1 + 1)
+                      + (x2 - x1 + 1) * (y2 - y1 + 1) - iw * ih)
+                ov = iw * ih / ua
+                if m == 1:
+                    weight = 1 - ov if ov > nt else 1.0
+                elif m == 2:
+                    weight = np.exp(-(ov * ov) / sigma)
+                else:
+                    weight = 0.0 if ov > nt else 1.0
+                b[pos, 4] = np.float32(weight) * b[pos, 4]
+                if b[pos, 4] < threshold:
+                    b[pos] = b[n - 1]
+                    n -= 1
+                    pos -= 1
+            pos += 1
+        i += 1
+    return b[:n]
+
