@@ -18,6 +18,15 @@ def main(argv=None):
                    help=".npz (framework) or .pth.tar (reference) checkpoint")
     p.add_argument("--arch", default="mobilenet_v2")
     p.add_argument("--aflw2000-npz", default=None)
+    p.add_argument("--aflw2000-dir", default=None, metavar="DIR",
+                   help="reference-layout aflw2000_data directory "
+                        "(AFLW2000-3D_crop + .list + eval/*.npy; "
+                        "reference benchmark.py:222-227)")
+    p.add_argument("--reannotated", action="store_true",
+                   help="use the re-annotated 68-pt GT (calc_nme option "
+                        "'re', reference benchmark_aflw2000.py:108)")
+    p.add_argument("--save-npz", default=None, metavar="PATH",
+                   help="persist the ingested eval pack for fast re-runs")
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--std", type=float, default=128.0,
                    help="normalization std (reference: 128 standalone)")
@@ -40,7 +49,14 @@ def main(argv=None):
     else:
         variables = init_synergy_variables(model, jax.random.PRNGKey(0))
 
-    if args.aflw2000_npz:
+    if args.aflw2000_dir:
+        from synergynet_tpu.data import load_aflw2000_dir, save_eval_pack
+        eval_pack = load_aflw2000_dir(args.aflw2000_dir,
+                                      reannotated=args.reannotated)
+        if args.save_npz:
+            save_eval_pack(eval_pack, args.save_npz)
+            print(f"saved eval pack to {args.save_npz}")
+    elif args.aflw2000_npz:
         z = np.load(args.aflw2000_npz)
         eval_pack = {k: z[k] for k in z.files}
     else:

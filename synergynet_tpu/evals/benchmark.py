@@ -65,16 +65,19 @@ def benchmark_params(params: np.ndarray, eval_pack: Dict[str, np.ndarray],
     nme = calc_nme(lmk, eval_pack["pts68_gt"], eval_pack["roi_boxes"])
     analysis = analyze_by_yaw(nme, eval_pack["yaws"])
 
-    from synergynet_tpu.mm3d import pose_from_param
-    angles, _ = pose_from_param(jnp.asarray(params), pack)
-    foe = foe_mae(np.asarray(angles), eval_pack["pose_gt_pyr"],
-                  skip_indices=eval_pack.get("skip_indices"))
+    report = format_nme_report(analysis)
+    foe = None
+    if eval_pack.get("pose_gt_pyr") is not None:
+        from synergynet_tpu.mm3d import pose_from_param
+        angles, _ = pose_from_param(jnp.asarray(params), pack)
+        foe = foe_mae(np.asarray(angles), eval_pack["pose_gt_pyr"],
+                      skip_indices=eval_pack.get("skip_indices"))
+        report += "\n" + format_foe_report(foe)
     return {
         "nme": analysis,
         "nme_mean": analysis["mean_of_means"],
         "foe": foe,
-        "report": (format_nme_report(analysis) + "\n"
-                   + format_foe_report(foe)),
+        "report": report,
     }
 
 
