@@ -27,9 +27,17 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from synergynet_tpu.mm3d.assets import ParamPack, STD_SIZE
+
+# TPU MXUs run f32 matmuls at reduced (bf16-pass) precision by default,
+# which costs ~0.3% NME on the landmark decode — material against the
+# <=3.41 NME target. These GEMMs are a rounding error of end-to-end FLOPs,
+# so force full f32 here (the Pallas dense-decode fast path keeps default
+# precision: mesh vertices tolerate ~0.1 px noise, landmarks do not).
+_HI = jax.lax.Precision.HIGHEST
 
 
 def dewhiten(param: jnp.ndarray, pack: ParamPack) -> jnp.ndarray:
@@ -61,7 +69,7 @@ def _synth(u: jnp.ndarray, w_shp: jnp.ndarray, w_exp: jnp.ndarray,
     """
     alphas = jnp.concatenate([alpha_shp[..., 0], alpha_exp[..., 0]], axis=1)
     w = jnp.concatenate([w_shp, w_exp], axis=1)            # (3N, 50)
-    flat = u[:, 0] + alphas @ w.T                          # (B, 3N)
+    flat = u[:, 0] + jnp.matmul(alphas, w.T, precision=_HI)   # (B, 3N)
     n = flat.shape[1] // 3
     return flat.reshape(-1, n, 3).transpose(0, 2, 1)       # (B, 3, N)
 
@@ -81,7 +89,7 @@ def decode_param62(param: jnp.ndarray, pack: ParamPack, *, dense: bool,
     else:
         base = _synth(pack.u_base, pack.w_shp_base, pack.w_exp_base,
                       alpha_shp, alpha_exp)
-    vertex = p @ base + offset                             # (B, 3, N)
+    vertex = jnp.matmul(p, base, precision=_HI) + offset   # (B, 3, N)
     if transform:
         vertex = vertex.at[:, 1, :].set(STD_SIZE + 1 - vertex[:, 1, :])
     return vertex
