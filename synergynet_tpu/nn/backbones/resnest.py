@@ -52,17 +52,23 @@ class SplAtConv2d(nn.Module):
         b, h, w, _ = y.shape
         split = y.reshape(b, h, w, r, c)                 # radix branches
         gap = jnp.sum(split, axis=3).mean(axis=(1, 2))    # (B, C)
+        # fc1/fc2 are cardinality-grouped 1x1 convs in the reference
+        # (splat.py:40-43).
         gap = nn.relu(_bn(train, self.dtype)(
-            nn.Conv(inter, (1, 1), dtype=self.dtype)(
-                gap[:, None, None, :])))                  # (B,1,1,inter)
-        atten = nn.Conv(c * r, (1, 1), dtype=self.dtype)(gap)  # (B,1,1,C*r)
-        atten = atten.reshape(b, r, c)
-        # rSoftMax: softmax over radix when r > 1, sigmoid otherwise.
+            nn.Conv(inter, (1, 1), feature_group_count=self.groups,
+                    dtype=self.dtype)(gap[:, None, None, :])))  # (B,1,1,inter)
+        atten = nn.Conv(c * r, (1, 1), feature_group_count=self.groups,
+                        dtype=self.dtype)(gap)            # (B,1,1,C*r)
+        # rSoftMax (splat.py:76-88): softmax over radix when r > 1 under the
+        # (cardinality, radix, c/cardinality) channel layout of the grouped
+        # fc2; sigmoid otherwise.
         if r > 1:
-            atten = jax.nn.softmax(atten, axis=1)
+            atten = atten.reshape(b, self.groups, r, c // self.groups)
+            atten = jax.nn.softmax(atten, axis=2)
+            atten = jnp.transpose(atten, (0, 2, 1, 3)).reshape(b, r, c)
             out = jnp.sum(split * atten[:, None, None, :, :], axis=3)
         else:
-            out = y * nn.sigmoid(atten)[:, 0][:, None, None, :]
+            out = y * nn.sigmoid(atten.reshape(b, c))[:, None, None, :]
         return out
 
 
@@ -84,10 +90,12 @@ class ResNeStBottleneck(nn.Module):
         avd = self.avd and (self.stride > 1 or self.is_first)
 
         def avd_pool(z):
+            # Reference avd_layer = nn.AvgPool2d(3, stride, padding=1) with
+            # torch's default count_include_pad=True (resnet.py:49).
             return nn.avg_pool(z, (3, 3),
                                strides=(self.stride, self.stride),
                                padding=((1, 1), (1, 1)),
-                               count_include_pad=False)
+                               count_include_pad=True)
 
         y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(_bn(train, self.dtype)(y))
@@ -144,11 +152,14 @@ class ResNeSt(nn.Module):
             planes = 64 * (2 ** stage)
             for i in range(n):
                 stride = 2 if (stage > 0 and i == 0) else 1
+                # is_first stays False everywhere: the reference builds
+                # layer1 with is_first=False (resnet.py:197) and blocks past
+                # the first of a layer default to False, so avd is active
+                # exactly when stride > 1.
                 x = ResNeStBottleneck(
                     planes, stride, self.radix, self.groups,
                     self.bottleneck_width, avd_first=self.avd_first,
-                    is_first=(i == 0 and stage == 0),
-                    dtype=self.dtype)(x, train)
+                    is_first=False, dtype=self.dtype)(x, train)
         feat = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)   # (B, 2048)
         param = ParamHead(dropout=self.dropout)(feat, train)
         return param, feat
