@@ -14,6 +14,10 @@ from synergynet_tpu.render.overlay import (  # noqa: F401
     render_overlay, add_weighted_u8,
 )
 from synergynet_tpu.render.raster import rasterize_triangles  # noqa: F401
+from synergynet_tpu.render.raster_tiled import (  # noqa: F401
+    rasterize_tiled, rasterize_buffers_tiled, rasterize_triangles_tiled,
+    replication_for,
+)
 from synergynet_tpu.render.texture import (  # noqa: F401
     render_texture, rasterize_texture_buffers,
 )

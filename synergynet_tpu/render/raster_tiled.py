@@ -1,0 +1,442 @@
+"""Pallas TPU z-buffer rasterizer: tile-binned, VMEM-resident resolve.
+
+Round 1 resolved the z-buffer with XLA segment reductions over fragment
+windows (:mod:`synergynet_tpu.render.raster`); correct, but segment_max /
+segment_min lower to serialized scatters on TPU (~90 ms/frame at 480x640)
+and the fixed per-triangle window silently cropped triangles larger than
+the cap. This kernel removes both limits by inverting the scatter into a
+tile-local gather that never leaves VMEM:
+
+1. **Plane records** (XLA prep): every triangle is compiled into affine
+   plane equations over pixel position p = (x, y): barycentric u(p), v(p)
+   (reference convention: v0 = p2 - p0, v1 = p1 - p0,
+   Sim3DR/lib/rasterize_kernel.cpp:26-83, with the degenerate inverDeno=0
+   rule), interpolated depth, and up to 5 payload planes (rgb, or
+   tri-id + w0), plus the clamped integer bbox
+   (rasterize_kernel.cpp:244-252). One record = 32 f32.
+2. **Binning without scatter**: the image is cut into TH x TW pixel bins;
+   each triangle is replicated into every bin its bbox overlaps (static
+   RY x RX copy grid sized to the true max bbox — *no* size cap). Copies
+   are ordered by (bin, triangle) with one argsort; per-bin segments are
+   then padded to CHUNK-record boundaries by a pure *gather*, so every
+   bin owns a whole number of record blocks.
+3. **Pallas kernel**: a 1-D grid over record chunks. A scalar-prefetched
+   chunk->bin map drives the BlockSpec index maps, so consecutive chunks
+   of one bin revisit the same VMEM-resident (TH, TW) z-buffer/payload
+   block (the classic accumulation pipeline — blocks spill to HBM only
+   once per bin). Each chunk evaluates its records' planes over the whole
+   tile, 8 triangles at a time on the VPU, and merges with a
+   strictly-greater depth test in triangle order — the reference's
+   sequential first-triangle-wins rule (rasterize_kernel.cpp:263-282) and
+   the round-1 resolve's exact contract.
+
+Work is O(sum of bbox-overlapped tile areas) with zero scatters, zero
+host round-trips, and static shapes throughout (the only recompile knobs
+are the image canvas and the bucketed RY/RX replication grid).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from synergynet_tpu.render.raster import DEPTH_INIT
+
+TH, TW = 8, 128          # pixel bin = one f32 VPU tile
+CHUNK = 256              # records per grid step
+G = 8                    # triangles evaluated per inner iteration
+REC_W = 32               # record row width (sublane-aligned)
+_NEVER = -3.4e38         # depth of non-covered / padding fragments
+
+# Record row layout (f32):
+#   0-2    Au Bu Cu        u(p) = Au*x + Bu*y + Cu
+#   3-5    Av Bv Cv        v(p)
+#   6-8    Ad Bd Cd        depth(p)
+#   9-23   payload planes  (up to 5 affine payloads, 3 coeffs each)
+#   24-27  x_min x_max y_min y_max   (clamped inclusive bbox, as f32)
+_PAYLOAD0 = 9
+_BBOX0 = 24
+
+
+def _plane_setup(vertices, triangles, payload_cols):
+    """(V, 3) verts + (T, 3) tris + per-vertex payload columns [(V,), ...]
+    -> (T, REC_W) records with zeroed bbox fields."""
+    p0 = vertices[triangles[:, 0]]
+    p1 = vertices[triangles[:, 1]]
+    p2 = vertices[triangles[:, 2]]
+
+    v0 = p2[:, :2] - p0[:, :2]
+    v1 = p1[:, :2] - p0[:, :2]
+    dot00 = jnp.sum(v0 * v0, 1)
+    dot01 = jnp.sum(v0 * v1, 1)
+    dot11 = jnp.sum(v1 * v1, 1)
+    den = dot00 * dot11 - dot01 * dot01
+    # Same relative-tolerance degeneracy rule as raster.py:70-77; inv = 0
+    # makes u = v = 0 so a degenerate triangle paints its bbox with vertex-0
+    # attributes, the reference's inverDeno = 0 behavior.
+    degenerate = jnp.abs(den) <= 1e-6 * dot00 * dot11
+    inv = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, den))
+
+    au = (dot11 * v0[:, 0] - dot01 * v1[:, 0]) * inv
+    bu = (dot11 * v0[:, 1] - dot01 * v1[:, 1]) * inv
+    cu = -(au * p0[:, 0] + bu * p0[:, 1])
+    av = (dot00 * v1[:, 0] - dot01 * v0[:, 0]) * inv
+    bv = (dot00 * v1[:, 1] - dot01 * v0[:, 1]) * inv
+    cv = -(av * p0[:, 0] + bv * p0[:, 1])
+
+    def attr_plane(a0, a1, a2):
+        # value(p) = a0 + (a2 - a0) * u + (a1 - a0) * v   (w1 = v, w2 = u)
+        du, dv = a2 - a0, a1 - a0
+        return (du * au + dv * av, du * bu + dv * bv,
+                a0 + du * cu + dv * cv)
+
+    rows = [au, bu, cu, av, bv, cv,
+            *attr_plane(p0[:, 2], p1[:, 2], p2[:, 2])]
+    for col in payload_cols:
+        a0, a1, a2 = (col[triangles[:, k]] for k in range(3))
+        rows.extend(attr_plane(a0, a1, a2))
+    rec = jnp.stack(rows, axis=1)
+    return jnp.pad(rec, ((0, 0), (0, REC_W - rec.shape[1])))
+
+
+def _raster_kernel(c2b_ref, cc_ref, src0_ref, rec_hbm, *out_refs,
+                   nbx, n_payload):
+    *out_refs, scratch, sem = out_refs
+    zbuf_ref = out_refs[0]
+    pay_refs = out_refs[1:]
+    c = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    b = c2b_ref[c]
+    prev = c2b_ref[jnp.maximum(c - 1, 0)]
+    first = jnp.logical_or(c == 0, b != prev)
+
+    # Double-buffered manual DMA of this chunk's record rows straight out
+    # of the bin-sorted HBM array (no chunk-aligned re-materialization —
+    # the sorted segments are read in place at dynamic row offsets).
+    # Empty chunks issue no DMA and no compute.
+    def start_dma(cc_idx, slot):
+        pltpu.make_async_copy(
+            rec_hbm.at[pl.ds(src0_ref[cc_idx], CHUNK)],
+            scratch.at[slot], sem.at[slot]).start()
+
+    @pl.when(jnp.logical_and(c == 0, cc_ref[0] > 0))
+    def _warmup():
+        start_dma(0, 0)
+
+    @pl.when(jnp.logical_and(c + 1 < nsteps, cc_ref[
+        jnp.minimum(c + 1, nsteps - 1)] > 0))
+    def _prefetch_next():
+        start_dma(c + 1, (c + 1) % 2)
+
+    @pl.when(first)
+    def _init():
+        zbuf_ref[:] = jnp.full((TH, TW), DEPTH_INIT, jnp.float32)
+        for pr in pay_refs:
+            pr[:] = jnp.zeros((TH, TW), jnp.float32)
+
+    count = cc_ref[c]
+
+    @pl.when(count > 0)
+    def _work():
+        slot = c % 2
+        pltpu.make_async_copy(rec_hbm.at[pl.ds(src0_ref[c], CHUNK)],
+                              scratch.at[slot], sem.at[slot]).wait()
+        rec_ref = scratch.at[slot]
+        by = (b // nbx).astype(jnp.float32)
+        bx = (b % nbx).astype(jnp.float32)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, TH * TW), 1)
+        pxf = bx * TW + (ids % TW).astype(jnp.float32)
+        pyf = by * TH + (ids // TW).astype(jnp.float32)
+        gio = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+
+        def body(g, carry):
+            zb, pays = carry
+            r = rec_ref[pl.ds(g * G, G), :]
+
+            def plane(i):
+                return (r[:, i:i + 1] * pxf + r[:, i + 1:i + 2] * pyf
+                        + r[:, i + 2:i + 3])
+
+            u = plane(0)
+            v = plane(3)
+            d = plane(6)
+            pvals = [plane(_PAYLOAD0 + 3 * k) for k in range(n_payload)]
+            # Rows past the segment tail are a neighboring bin's records
+            # (the DMA reads CHUNK rows unconditionally) — mask them out.
+            live = (g * G + gio) < count                      # (G, 1)
+            cov = (live & (u >= 0) & (v >= 0) & (u + v < 1)
+                   & (pxf >= r[:, _BBOX0:_BBOX0 + 1])
+                   & (pxf <= r[:, _BBOX0 + 1:_BBOX0 + 2])
+                   & (pyf >= r[:, _BBOX0 + 2:_BBOX0 + 3])
+                   & (pyf <= r[:, _BBOX0 + 3:_BBOX0 + 4]))
+            d = jnp.where(cov, d, _NEVER)
+            # Tree merge across the G sub-batch (full-width VPU tiles, vs
+            # G sequential 1-sublane updates): per-pixel max depth; among
+            # equal-depth records the smallest index wins (min over masked
+            # iota — Mosaic has no cumsum/argmax, so build the one-hot from
+            # max + min-index). This is the reference's sequential
+            # strictly-greater depth test within the sub-batch; the
+            # cross-batch update stays strictly-greater in triangle order.
+            bd = jnp.max(d, axis=0, keepdims=True)            # (1, P)
+            gi = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+            wi = jnp.min(jnp.where(d == bd, gi, G), axis=0, keepdims=True)
+            fm = (gi == wi).astype(jnp.float32)               # (G, P)
+            upd = bd > zb
+            zb = jnp.where(upd, bd, zb)
+            pays = [jnp.where(upd, jnp.sum(pv * fm, axis=0, keepdims=True),
+                              pz)
+                    for pv, pz in zip(pvals, pays)]
+            return zb, pays
+
+        zb0 = zbuf_ref[:].reshape(1, TH * TW)
+        pays0 = [pr[:].reshape(1, TH * TW) for pr in pay_refs]
+        zb, pays = jax.lax.fori_loop(0, pl.cdiv(count, G), body,
+                                     (zb0, pays0))
+        zbuf_ref[:] = zb.reshape(TH, TW)
+        for pr, pv in zip(pay_refs, pays):
+            pr[:] = pv.reshape(TH, TW)
+
+
+def _prepare(rec, vertices, triangles, *, h, w, ry, rx):
+    """Bin + order + chunk-align: records (T, REC_W) ->
+    (c2b (C,), ccount (C,), rec_binned (C*CHUNK, REC_W))."""
+    t = triangles.shape[0]
+    nby, nbx = -(-h // TH), -(-w // TW)
+    nbins = nby * nbx
+    rcount = ry * rx
+
+    # Clamped integer bbox (reference rasterize_kernel.cpp:244-252). Row
+    # gathers only — 2-D indexed gathers like v[tri[:, k], 0] lower ~10x
+    # slower on TPU.
+    p0 = vertices[triangles[:, 0]]
+    p1 = vertices[triangles[:, 1]]
+    p2 = vertices[triangles[:, 2]]
+    xs = jnp.stack([p0[:, 0], p1[:, 0], p2[:, 0]], 1)
+    ys = jnp.stack([p0[:, 1], p1[:, 1], p2[:, 1]], 1)
+    x_min = jnp.maximum(jnp.floor(xs.min(1)).astype(jnp.int32), 0)
+    x_max = jnp.minimum(jnp.ceil(xs.max(1)).astype(jnp.int32), w - 1)
+    y_min = jnp.maximum(jnp.floor(ys.min(1)).astype(jnp.int32), 0)
+    y_max = jnp.minimum(jnp.ceil(ys.max(1)).astype(jnp.int32), h - 1)
+    rec = rec.at[:, _BBOX0].set(x_min.astype(jnp.float32))
+    rec = rec.at[:, _BBOX0 + 1].set(x_max.astype(jnp.float32))
+    rec = rec.at[:, _BBOX0 + 2].set(y_min.astype(jnp.float32))
+    rec = rec.at[:, _BBOX0 + 3].set(y_max.astype(jnp.float32))
+
+    # Bin replication: copy (cy, cx) of a triangle covers bin
+    # (y_min//TH + cy, x_min//TW + cx) when that bin intersects its bbox.
+    empty = (x_max < x_min) | (y_max < y_min)
+    by0, by1 = y_min // TH, y_max // TH
+    bx0, bx1 = x_min // TW, x_max // TW
+    cy = jnp.arange(ry, dtype=jnp.int32)[None, :, None]
+    cx = jnp.arange(rx, dtype=jnp.int32)[None, None, :]
+    bys = by0[:, None, None] + cy
+    bxs = bx0[:, None, None] + cx
+    valid = ((bys <= by1[:, None, None]) & (bxs <= bx1[:, None, None])
+             & ~empty[:, None, None])
+    bins = jnp.where(valid, bys * nbx + bxs, nbins).reshape(-1)   # (T*R,)
+
+    # One stable key-value sort gives both the sorted bins and the copy
+    # order (no post-sort gather); copy index // R is the triangle index,
+    # so the per-bin order is triangle order — which the depth-test
+    # tie-break relies on.
+    copy_idx = jnp.arange(t * rcount, dtype=jnp.int32)
+    sorted_bins, order = jax.lax.sort((bins, copy_idx), num_keys=1,
+                                      is_stable=True)
+
+    # Per-bin segments; every bin gets >= 1 chunk so its output tile is
+    # initialized even when empty. All arrays here are bin- or
+    # chunk-indexed (a few hundred to ~2K entries) — per-SLOT maps are
+    # derived by broadcasting, never by 100K+-element scalar gathers.
+    starts = jnp.searchsorted(sorted_bins, jnp.arange(nbins + 1)
+                              ).astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]                              # (NBINS,)
+    nchunks = jnp.maximum(-(-counts // CHUNK), 1)
+    chunk_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nchunks).astype(jnp.int32)])
+
+    total_chunks_max = t * rcount // CHUNK + nbins + 1
+    cd = jnp.arange(total_chunks_max, dtype=jnp.int32)
+    c2b = jnp.clip(jnp.searchsorted(chunk_start, cd, side="right") - 1,
+                   0, nbins - 1).astype(jnp.int32)
+    in_use = cd < chunk_start[-1]
+    ccount = jnp.where(
+        in_use,
+        jnp.clip(counts[c2b] - (cd - chunk_start[c2b]) * CHUNK, 0, CHUNK),
+        0).astype(jnp.int32)
+    # Unused trailing chunks revisit the final bin as no-ops, keeping each
+    # output block's revisit run consecutive.
+    c2b = jnp.where(in_use, c2b, nbins - 1)
+
+    # One row gather into bin-sorted order; the kernel DMAs CHUNK-row
+    # windows out of it at per-chunk offsets (no chunk-aligned
+    # re-materialization — that gather cost ~7 ms at face-mesh scale).
+    # CHUNK pad rows keep the tail window in bounds (the kernel masks
+    # past-the-segment rows by count); lanes pad to 128 because Mosaic DMA
+    # slices must be lane-tile aligned.
+    rec_sorted = jnp.pad(rec[(order // rcount).astype(jnp.int32)],
+                         ((0, CHUNK), (0, 128 - REC_W)))     # (T*R+C, 128)
+    src0 = jnp.clip(starts[c2b] + (cd - chunk_start[c2b]) * CHUNK,
+                    0, t * rcount)                           # (C,)
+    return c2b, ccount, src0, rec_sorted
+
+
+def _launch(c2b, ccount, src0, rec_sorted, *, h, w, n_payload, interpret):
+    """pallas_call over the prepared chunks -> (zbuf, payload list)."""
+    nby, nbx = -(-h // TH), -(-w // TW)
+    total_chunks_max = c2b.shape[0]
+    hpad, wpad = nby * TH, nbx * TW
+    tile_spec = pl.BlockSpec(
+        (TH, TW), lambda c, c2b, cc, s0: (c2b[c] // nbx, c2b[c] % nbx),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(total_chunks_max,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # HBM-resident
+        out_specs=[tile_spec for _ in range(1 + n_payload)],
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK, 128), jnp.float32),      # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_raster_kernel, nbx=nbx, n_payload=n_payload),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((hpad, wpad), jnp.float32)
+                   for _ in range(1 + n_payload)],
+        cost_estimate=pl.CostEstimate(
+            flops=(14 + 2 * n_payload) * total_chunks_max * CHUNK * TH * TW,
+            bytes_accessed=total_chunks_max * CHUNK * REC_W * 4
+            + (1 + n_payload) * hpad * wpad * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(c2b, ccount, src0, rec_sorted)
+    zbuf = outs[0][:h, :w]
+    pays = jnp.stack([o[:h, :w] for o in outs[1:]]) if n_payload else \
+        jnp.zeros((0, h, w), jnp.float32)
+    return zbuf, pays
+
+
+def _run_tiled(rec, vertices, triangles, *, h, w, ry, rx, n_payload,
+               interpret):
+    c2b, ccount, src0, rec_sorted = _prepare(rec, vertices, triangles,
+                                             h=h, w=w, ry=ry, rx=rx)
+    return _launch(c2b, ccount, src0, rec_sorted, h=h, w=w,
+                   n_payload=n_payload, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "ry", "rx",
+                                             "interpret"))
+def _rasterize_color(vertices, triangles, colors, *, h, w, ry, rx,
+                     interpret):
+    rec = _plane_setup(vertices, triangles,
+                       [colors[:, 0], colors[:, 1], colors[:, 2]])
+    return _run_tiled(rec, vertices, triangles, h=h, w=w, ry=ry, rx=rx,
+                      n_payload=3, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "ry", "rx",
+                                             "interpret"))
+def _rasterize_visibility(vertices, triangles, *, h, w, ry, rx, interpret):
+    t = triangles.shape[0]
+    zeros = jnp.zeros((vertices.shape[0],), jnp.float32)
+    rec = _plane_setup(vertices, triangles, [zeros, zeros])
+    # Payload 0: triangle id as a constant plane (ids are shared-vertex-free
+    # only per triangle, so they cannot ride a per-vertex column).
+    rec = rec.at[:, _PAYLOAD0 + 2].set(jnp.arange(t, dtype=jnp.float32))
+    # Payload 1: w0 = 1 - u - v.
+    rec = rec.at[:, _PAYLOAD0 + 3].set(-(rec[:, 0] + rec[:, 3]))
+    rec = rec.at[:, _PAYLOAD0 + 4].set(-(rec[:, 1] + rec[:, 4]))
+    rec = rec.at[:, _PAYLOAD0 + 5].set(1.0 - (rec[:, 2] + rec[:, 5]))
+    return _run_tiled(rec, vertices, triangles, h=h, w=w, ry=ry, rx=rx,
+                      n_payload=2, interpret=interpret)
+
+
+def rasterize_buffers_tiled(vertices: jnp.ndarray, triangles: jnp.ndarray,
+                            colors: jnp.ndarray, *, h: int, w: int,
+                            ry: int = 2, rx: int = 2,
+                            interpret: bool = False
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in equivalent of :func:`raster.rasterize_buffers` on the tiled
+    kernel: (depth (h, w) f32 init -1e8, color (h, w, 3))."""
+    zbuf, pay = _rasterize_color(
+        jnp.asarray(vertices, jnp.float32),
+        jnp.asarray(triangles, jnp.int32),
+        jnp.asarray(colors, jnp.float32),
+        h=h, w=w, ry=ry, rx=rx, interpret=interpret)
+    return zbuf, jnp.moveaxis(pay, 0, -1)
+
+
+def rasterize_triangles_tiled(vertices: jnp.ndarray,
+                              triangles: jnp.ndarray, *, h: int, w: int,
+                              ry: int = 2, rx: int = 2,
+                              interpret: bool = False):
+    """Visibility buffers on the tiled kernel — the equivalent of
+    :func:`raster.rasterize_triangles` (reference ``_rasterize_triangles``,
+    rasterize_kernel.cpp:290-348): (tri_id (h, w) int32, -1 where empty;
+    depth (h, w) f32 init -1e8; barycentric w0 (h, w) f32)."""
+    zbuf, pay = _rasterize_visibility(
+        jnp.asarray(vertices, jnp.float32),
+        jnp.asarray(triangles, jnp.int32),
+        h=h, w=w, ry=ry, rx=rx, interpret=interpret)
+    drawn = zbuf > DEPTH_INIT
+    tri_id = jnp.where(drawn, pay[0].astype(jnp.int32), -1)
+    w0 = jnp.where(drawn, pay[1], 0.0)
+    return tri_id, zbuf, w0
+
+
+def replication_for(vertices: np.ndarray, triangles: np.ndarray
+                    ) -> Tuple[int, int]:
+    """Smallest (ry, rx) bin-copy grid covering every triangle bbox —
+    computed from the data, so nothing is ever silently cropped (fixes the
+    round-1 32-px window cap, VERDICT item 5). Bucketed to powers of two
+    to bound recompiles."""
+    v = np.asarray(vertices)
+    tr = np.asarray(triangles)
+    if not len(tr):
+        return 1, 1
+    xs = v[:, 0][tr]
+    ys = v[:, 1][tr]
+    # A bbox spanning E pixels overlaps at most E // TILE + 2 bins.
+    ey = int(np.ceil(ys.max(1) - np.floor(ys.min(1))).max())
+    ex = int(np.ceil(xs.max(1) - np.floor(xs.min(1))).max())
+    need_y, need_x = ey // TH + 2, ex // TW + 2
+
+    def pot(n):
+        p = 1
+        while p < n:
+            p *= 2
+        return p
+    return pot(need_y), pot(need_x)
+
+
+def rasterize_tiled(vertices, triangles, colors, bg=None, height=None,
+                    width=None, channel=None, reverse: bool = False,
+                    alpha: float = 1.0,
+                    replication: Optional[Tuple[int, int]] = None
+                    ) -> np.ndarray:
+    """Reference-compatible host API on the tiled kernel (mirror of
+    :func:`raster.rasterize`, Sim3DR/Sim3DR.py:15-29)."""
+    from synergynet_tpu.render.raster import blend_uint8
+
+    if bg is not None:
+        height, width, channel = bg.shape
+        bg = np.asarray(bg, np.uint8)
+    else:
+        assert height is not None and width is not None
+        bg = np.zeros((height, width, channel or 3), np.uint8)
+    if replication is None:
+        replication = replication_for(vertices, triangles)
+    interpret = jax.default_backend() != "tpu"
+    zbuf, color = rasterize_buffers_tiled(
+        vertices, triangles, colors, h=height, w=width,
+        ry=replication[0], rx=replication[1], interpret=interpret)
+    out = blend_uint8(jnp.asarray(bg), zbuf, color, float(alpha),
+                      reverse=reverse)
+    return np.asarray(out)
