@@ -1,0 +1,99 @@
+"""Multi-stream serving benchmark (VERDICT round-1 item 6).
+
+Measures the vmapped multi-frame serving path —
+``FusedFrameEngine.process_batch`` (pipeline/api.py): B full 720x1088
+frames -> detect -> crop -> regress -> 68-lmk + dense mesh + pose for
+8 faces each, in ONE dispatch — at B = 1/4/8, against the single-frame
+fused program. Timing is bench.py's on-device fori_loop slope.
+
+Prints one JSON line per batch size plus a headline line
+(faces/sec at the best B, vs the reference's 3000 fps RTX 2080 claim for
+the alignment stage alone, reference README.md:31).
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 3000.0
+FACES_PER_FRAME = 8
+N_SMALL, N_LARGE = 5, 25
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from synergynet_tpu.core import enable_compile_cache
+    enable_compile_cache()
+    from synergynet_tpu.detect import FaceBoxes
+    from synergynet_tpu.detect.detector import CANVAS
+    from synergynet_tpu.detect.net import space_to_depth
+    from synergynet_tpu.pipeline import FusedFrameEngine, SynergyNet3DMM
+
+    detector = FaceBoxes(dtype=jnp.bfloat16)
+    api = SynergyNet3DMM(dtype=jnp.bfloat16, detector=detector)
+    engine = FusedFrameEngine(api, detector=detector,
+                              max_faces=FACES_PER_FRAME)
+    ch, cw = CANVAS
+    rng = np.random.default_rng(0)
+
+    results = {}
+    best = (0.0, None)
+    for b in (1, 4, 8):
+        frames = rng.integers(0, 255, (b, ch, cw, 3)).astype(np.float32)
+        s2d = np.stack([np.ascontiguousarray(space_to_depth(f))
+                        for f in frames])
+        hw = np.tile([[ch, cw]], (b, 1)).astype(np.int32)
+        fj, sj, hj = jnp.asarray(frames), jnp.asarray(s2d), jnp.asarray(hw)
+
+        if b == 1:
+            prog = engine._program
+            args = (fj[0], sj[0], hj[0])
+        else:
+            if engine._batch_program is None:
+                from synergynet_tpu.pipeline.api import _fused_batch_program
+                engine._batch_program = _fused_batch_program(engine)
+            prog = engine._batch_program
+            args = (fj, sj, hj)
+
+        @jax.jit
+        def loop(n, prog=prog, args=args):
+            def body(i, acc):
+                c = i.astype(jnp.float32) * 1e-3
+                outs = prog(api.variables, detector.variables,
+                            args[0] + c, args[1] + c, args[2])
+                scores, n_faces, rois, p62, lmk, dense, angles, t3d = outs
+                return (acc + jnp.sum(lmk * lmk) * 1e-6
+                        + jnp.sum(dense * dense) * 1e-9 + jnp.sum(angles))
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        float(loop(2))
+
+        def run(n):
+            t0 = time.perf_counter()
+            float(loop(n))
+            return time.perf_counter() - t0
+
+        t_small = min(run(N_SMALL) for _ in range(3))
+        t_large = min(run(N_LARGE) for _ in range(3))
+        per_dispatch = (t_large - t_small) / (N_LARGE - N_SMALL)
+        fps = b * FACES_PER_FRAME / per_dispatch
+        results[b] = {"ms_per_dispatch": round(per_dispatch * 1000, 2),
+                      "faces_per_sec": round(fps, 0)}
+        print(json.dumps({"batch_frames": b, **results[b]}), flush=True)
+        if fps > best[0]:
+            best = (fps, b)
+
+    print(json.dumps({
+        "metric": f"multi-stream faces/sec/chip (B={best[1]} frames x "
+                  f"{FACES_PER_FRAME} faces, fused detect+regress+decode)",
+        "value": round(best[0], 1),
+        "unit": "faces/sec",
+        "vs_baseline": round(best[0] / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
