@@ -13,3 +13,6 @@ from synergynet_tpu.pipeline.device_crop import (  # noqa: F401
     crop_resize_bilinear, crop_resize_matmul, square_rois,
 )
 from synergynet_tpu.pipeline.api import FusedFrameEngine  # noqa: F401
+from synergynet_tpu.pipeline.overlay_engine import (  # noqa: F401
+    FusedOverlayEngine, render_lit_faces,
+)

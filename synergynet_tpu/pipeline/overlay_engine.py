@@ -1,0 +1,168 @@
+"""Fused overlay serving: frame -> detected faces -> lit mesh overlay, one
+dispatch.
+
+The full ``singleImage.py`` experience (reference singleImage.py:54-118:
+detect -> crop -> regress -> dense mesh -> Sim3DR lit render -> alpha
+overlay) as a single device program — a configuration the reference cannot
+run at speed (its chain is per-face host loops + C++ rasterize + numpy
+lighting, ~66 ms per face for the render stage alone; see docs/RENDERER.md).
+
+Measured on the v5e chip: 164 ms/frame at the full 8-face budget on the
+720x1088 canvas (one dispatch) vs ~530 ms for the reference's chain at 8
+faces (~66 ms/face render alone, docs/RENDERER.md). The static shapes
+make the render stage cost independent of how many faces are present
+(max_faces x replication copies enter the bin sort either way); trimming
+that via a record-count cap + per-face conditional rendering is the known
+next optimization.
+
+Design: the detect/regress/decode stages reuse the FusedFrameEngine
+program verbatim. The render stage concatenates all (up to max_faces)
+dense meshes into ONE mesh — invalid (padding) faces are parked off-canvas
+so their triangles clamp to empty bboxes — lights each face independently
+(per-face normalization like the reference), and rasterizes once with the
+tiled Pallas kernel into the frame. One intentional divergence from the
+reference's per-face sequential rendering: a single global z-buffer
+resolves inter-face occlusion (the reference's later faces simply
+overdraw earlier ones); identical whenever faces don't overlap.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from synergynet_tpu.render.lighting import (OVERLAY_LIGHT_CFG,
+                                            compute_vertex_light)
+from synergynet_tpu.render.normals import get_normal_rings, one_ring_table
+from synergynet_tpu.render.raster import blend_uint8
+from synergynet_tpu.render.raster_tiled import rasterize_buffers_tiled
+
+# Face triangles span ~2 px on the 120-crop mesh; a roi as large as the
+# whole 1088-px canvas scales that to ~18 px -> every bbox fits a (4, 2)
+# bin-copy grid. (8-px-tall bins, 128-px-wide bins.)
+DEFAULT_REPLICATION = (4, 2)
+
+
+def render_lit_faces(frame_u8: jnp.ndarray, verts: jnp.ndarray,
+                     valid: jnp.ndarray, tris_face: jnp.ndarray,
+                     tris_all: jnp.ndarray, rings: jnp.ndarray, *,
+                     alpha: float = 0.6, light_cfg: Optional[dict] = None,
+                     replication: Tuple[int, int] = DEFAULT_REPLICATION,
+                     interpret: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(H, W, 3) uint8 frame + (F, N, 3) per-face image-space vertices ->
+    (overlay, solid) uint8 images.
+
+    ``valid`` (F,) bool masks real faces; ``tris_face`` (T, 3) single-face
+    topology; ``tris_all`` (F*T, 3) the precomputed concatenated topology;
+    ``rings`` the single-face one-ring table. The alpha composite follows
+    reference utils/render.py:40-44 (solid render, then
+    addWeighted(img, 1-alpha, solid, alpha)).
+    """
+    cfg = dict(OVERLAY_LIGHT_CFG if light_cfg is None else light_cfg)
+    h, w = frame_u8.shape[:2]
+    # Park padding faces far off-canvas: their bboxes clamp to empty.
+    verts = jnp.where(valid[:, None, None], verts, verts + 1e7)
+
+    normals = jax.vmap(
+        lambda v: get_normal_rings(v, tris_face, rings))(verts)
+    light = jax.vmap(
+        lambda v, n: compute_vertex_light(v, n, **cfg))(verts, normals)
+
+    zbuf, color = rasterize_buffers_tiled(
+        verts.reshape(-1, 3), tris_all, light.reshape(-1, 3),
+        h=h, w=w, ry=replication[0], rx=replication[1],
+        interpret=interpret)
+    solid = blend_uint8(frame_u8, zbuf, color, 1.0)
+    # cv2.addWeighted parity to float32 rounding (the host path in
+    # render/overlay.py keeps the exact float64 round-half-away).
+    overlay = jnp.clip(jnp.floor(
+        (1.0 - alpha) * frame_u8.astype(jnp.float32)
+        + alpha * solid.astype(jnp.float32) + 0.5), 0, 255).astype(jnp.uint8)
+    return overlay, solid
+
+
+class FusedOverlayEngine:
+    """Wrap a :class:`FusedFrameEngine`; calls return the reference-format
+    outputs PLUS the rendered overlay, all from one device dispatch."""
+
+    def __init__(self, engine, alpha: float = 0.6,
+                 light_cfg: Optional[dict] = None,
+                 replication: Tuple[int, int] = DEFAULT_REPLICATION):
+        self.engine = engine
+        self.alpha = float(alpha)
+        self.light_cfg = dict(OVERLAY_LIGHT_CFG if light_cfg is None
+                              else light_cfg)
+        self.replication = replication
+        pack = engine.api.pack
+        tris = np.ascontiguousarray(np.asarray(pack.tri).T).astype(np.int32)
+        nver = int(np.asarray(pack.u).shape[0]) // 3
+        f = engine.max_faces
+        self._tris_face = jnp.asarray(tris)
+        self._tris_all = jnp.asarray(
+            (tris[None] + (np.arange(f, dtype=np.int32) * nver
+                           )[:, None, None]).reshape(-1, 3))
+        self._rings = one_ring_table(tris, nver)
+        self._program = self._build()
+
+    def _build(self):
+        base = self.engine._program
+        tris_face, tris_all, rings = (self._tris_face, self._tris_all,
+                                      self._rings)
+        alpha, cfg, repl = self.alpha, self.light_cfg, self.replication
+
+        @jax.jit
+        def program(variables, det_vars, frame, frame_s2d, true_hw):
+            outs = base(variables, det_vars, frame, frame_s2d, true_hw)
+            scores, n_faces, rois, p62, lmk, dense, angles, t3d = outs
+            overlay, solid = render_lit_faces(
+                jnp.clip(frame, 0, 255).astype(jnp.uint8),
+                dense.transpose(0, 2, 1), scores > 0,
+                tris_face, tris_all, rings,
+                alpha=alpha, light_cfg=cfg, replication=repl,
+                interpret=jax.default_backend() != "tpu")
+            return outs, overlay, solid
+
+        return program
+
+    def __call__(self, img_bgr: np.ndarray):
+        """Returns (pts_res, vertices_lst, poses, overlay_bgr) — the first
+        three exactly as FusedFrameEngine, the overlay at the input's
+        resolution (rendered on the <=720x1088 canvas and rescaled back for
+        oversized inputs, unlike the reference which renders at native
+        resolution)."""
+        import cv2
+        from synergynet_tpu.detect.detector import CANVAS, _fit_scale
+        from synergynet_tpu.detect.net import space_to_depth
+
+        h, w = img_bgr.shape[:2]
+        scale = _fit_scale(h, w)
+        img_s = (cv2.resize(img_bgr, (int(scale * w), int(scale * h)))
+                 if scale != 1.0 else img_bgr)
+        hs, ws = img_s.shape[:2]
+        ch, cw = CANVAS
+        canvas = np.zeros((ch, cw, 3), np.float32)
+        canvas[:min(hs, ch), :min(ws, cw)] = img_s[:ch, :cw]
+        packed = np.ascontiguousarray(space_to_depth(canvas))
+
+        outs, overlay, _ = self._program(
+            self.engine.api.variables, self.engine.detector.variables,
+            jnp.asarray(canvas), jnp.asarray(packed),
+            jnp.asarray([hs, ws], jnp.int32))
+        scores, n, rois, p62, lmk, dense, angles, t3d = map(np.asarray, outs)
+        n = int(n)
+        inv = 1.0 / scale
+        pts, verts, poses = [], [], []
+        for i in range(n):
+            pts.append(lmk[i] * inv)
+            verts.append(dense[i] * inv)
+            t = t3d[i].copy()
+            t[:2] *= inv
+            poses.append([angles[i], t])
+        ov = np.asarray(overlay)[:hs, :ws]
+        if scale != 1.0:
+            ov = cv2.resize(ov, (w, h))
+        return pts, verts, poses, ov

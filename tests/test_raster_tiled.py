@@ -160,3 +160,45 @@ class TestRingNormals:
             got = sorted(x for x in rings[v] if x < t)
             assert got == want, (v, got, want)
         assert (rings[4] == t).all()      # orphan vertex: all padding
+
+
+class TestRenderLitFaces:
+    """Fused multi-face overlay render stage (pipeline/overlay_engine.py)
+    at toy scale in interpret mode."""
+
+    def test_valid_faces_drawn_invalid_parked(self):
+        import jax.numpy as jnp
+        from synergynet_tpu.pipeline.overlay_engine import render_lit_faces
+        from synergynet_tpu.render.normals import one_ring_table
+
+        rng = np.random.default_rng(2)
+        nver, f = 30, 3
+        # one small face mesh in a 32x128 frame
+        base = np.stack([rng.uniform(4, 28, nver), rng.uniform(4, 28, nver),
+                         rng.uniform(1, 6, nver)], 1).astype(np.float32)
+        tris = rng.integers(0, nver, (40, 3)).astype(np.int32)
+        verts = np.stack([base,
+                          base + np.asarray([60, 0, 0], np.float32),
+                          base + np.asarray([95, 0, 0], np.float32)])
+        valid = jnp.asarray([True, True, False])
+        tris_all = (tris[None] + (np.arange(f) * nver)[:, None, None]
+                    ).reshape(-1, 3).astype(np.int32)
+        rings = one_ring_table(tris, nver)
+        frame = rng.integers(0, 120, (32, 128, 3)).astype(np.uint8)
+        overlay, solid = render_lit_faces(
+            jnp.asarray(frame), jnp.asarray(verts), valid,
+            jnp.asarray(tris), jnp.asarray(tris_all), rings,
+            alpha=0.6, replication=(8, 2), interpret=True)
+        overlay, solid = np.asarray(overlay), np.asarray(solid)
+        changed = (solid != frame).any(-1)
+        assert changed[:, :30].any()          # face 0 drawn
+        assert changed[:, 60:90].any()        # face 1 drawn
+        assert not changed[:, 95:].any()      # parked face leaves no trace
+        # alpha composite: unchanged background pixels stay identical
+        same = ~changed
+        np.testing.assert_array_equal(overlay[same], frame[same])
+        # drawn pixels follow floor((1-a)*bg + a*solid + .5)
+        want = np.clip(np.floor(0.4 * frame.astype(np.float64)
+                                + 0.6 * solid.astype(np.float64) + 0.5),
+                       0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(overlay, want)
