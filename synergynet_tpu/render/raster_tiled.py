@@ -101,6 +101,13 @@ def _plane_setup(vertices, triangles, payload_cols):
     for col in payload_cols:
         a0, a1, a2 = (col[triangles[:, k]] for k in range(3))
         rows.extend(attr_plane(a0, a1, a2))
+    rows += [jnp.zeros_like(au)] * (_BBOX0 - len(rows))
+    # Unclamped bbox rides in rows 24-27 (reusing the vertex gathers; the
+    # binning stage clamps to the canvas).
+    xs = jnp.stack([p0[:, 0], p1[:, 0], p2[:, 0]], 1)
+    ys = jnp.stack([p0[:, 1], p1[:, 1], p2[:, 1]], 1)
+    rows += [jnp.floor(xs.min(1)), jnp.ceil(xs.max(1)),
+             jnp.floor(ys.min(1)), jnp.ceil(ys.max(1))]
     rec = jnp.stack(rows, axis=1)
     return jnp.pad(rec, ((0, 0), (0, REC_W - rec.shape[1])))
 
@@ -211,18 +218,12 @@ def _prepare(rec, vertices, triangles, *, h, w, ry, rx):
     nbins = nby * nbx
     rcount = ry * rx
 
-    # Clamped integer bbox (reference rasterize_kernel.cpp:244-252). Row
-    # gathers only — 2-D indexed gathers like v[tri[:, k], 0] lower ~10x
-    # slower on TPU.
-    p0 = vertices[triangles[:, 0]]
-    p1 = vertices[triangles[:, 1]]
-    p2 = vertices[triangles[:, 2]]
-    xs = jnp.stack([p0[:, 0], p1[:, 0], p2[:, 0]], 1)
-    ys = jnp.stack([p0[:, 1], p1[:, 1], p2[:, 1]], 1)
-    x_min = jnp.maximum(jnp.floor(xs.min(1)).astype(jnp.int32), 0)
-    x_max = jnp.minimum(jnp.ceil(xs.max(1)).astype(jnp.int32), w - 1)
-    y_min = jnp.maximum(jnp.floor(ys.min(1)).astype(jnp.int32), 0)
-    y_max = jnp.minimum(jnp.ceil(ys.max(1)).astype(jnp.int32), h - 1)
+    # Clamp the record bbox (computed once in _plane_setup from the same
+    # vertex gathers) to the canvas — reference rasterize_kernel.cpp:244-252.
+    x_min = jnp.maximum(rec[:, _BBOX0].astype(jnp.int32), 0)
+    x_max = jnp.minimum(rec[:, _BBOX0 + 1].astype(jnp.int32), w - 1)
+    y_min = jnp.maximum(rec[:, _BBOX0 + 2].astype(jnp.int32), 0)
+    y_max = jnp.minimum(rec[:, _BBOX0 + 3].astype(jnp.int32), h - 1)
     rec = rec.at[:, _BBOX0].set(x_min.astype(jnp.float32))
     rec = rec.at[:, _BBOX0 + 1].set(x_max.astype(jnp.float32))
     rec = rec.at[:, _BBOX0 + 2].set(y_min.astype(jnp.float32))
@@ -253,8 +254,9 @@ def _prepare(rec, vertices, triangles, *, h, w, ry, rx):
     # initialized even when empty. All arrays here are bin- or
     # chunk-indexed (a few hundred to ~2K entries) — per-SLOT maps are
     # derived by broadcasting, never by 100K+-element scalar gathers.
-    starts = jnp.searchsorted(sorted_bins, jnp.arange(nbins + 1)
-                              ).astype(jnp.int32)
+    # compare_all beats the default scan lowering ~4x at this size.
+    starts = jnp.searchsorted(sorted_bins, jnp.arange(nbins + 1),
+                              method="compare_all").astype(jnp.int32)
     counts = starts[1:] - starts[:-1]                              # (NBINS,)
     nchunks = jnp.maximum(-(-counts // CHUNK), 1)
     chunk_start = jnp.concatenate(

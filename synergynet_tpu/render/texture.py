@@ -48,7 +48,12 @@ def rasterize_texture_buffers(vertices: jnp.ndarray, triangles: jnp.ndarray,
     zbuf, win_idx, drawn = _resolve_winners(pix, depth, h, w)
     ubuf = jnp.where(drawn, uvz[win_idx, 0], 0.0)
     vbuf = jnp.where(drawn, uvz[win_idx, 1], 0.0)
+    color = _sample_texture(ubuf, vbuf, texture, bilinear)
+    return zbuf.reshape(h, w), color.reshape(h, w, 3)
 
+
+def _sample_texture(ubuf, vbuf, texture, bilinear):
+    """Per-pixel texture lookup from interpolated UVs (flat or 2-D)."""
     tex = texture.astype(jnp.float32)
     if texture.dtype == jnp.uint8:
         tex = tex / 255.0
@@ -62,15 +67,35 @@ def rasterize_texture_buffers(vertices: jnp.ndarray, triangles: jnp.ndarray,
         y0 = jnp.clip(jnp.floor(ty), 0, th - 1)
         x1 = jnp.clip(x0 + 1, 0, tw - 1)
         y1 = jnp.clip(y0 + 1, 0, th - 1)
-        fx = (tx - x0)[:, None]
-        fy = (ty - y0)[:, None]
+        fx = (tx - x0)[..., None]
+        fy = (ty - y0)[..., None]
         g = lambda yy, xx: tex[yy.astype(jnp.int32), xx.astype(jnp.int32)]
-        color = ((g(y0, x0) * (1 - fx) + g(y0, x1) * fx) * (1 - fy)
-                 + (g(y1, x0) * (1 - fx) + g(y1, x1) * fx) * fy)
-    else:
-        color = tex[jnp.clip(jnp.round(ty), 0, th - 1).astype(jnp.int32),
-                    jnp.clip(jnp.round(tx), 0, tw - 1).astype(jnp.int32)]
-    return zbuf.reshape(h, w), color.reshape(h, w, 3)
+        return ((g(y0, x0) * (1 - fx) + g(y0, x1) * fx) * (1 - fy)
+                + (g(y1, x0) * (1 - fx) + g(y1, x1) * fx) * fy)
+    return tex[jnp.clip(jnp.round(ty), 0, th - 1).astype(jnp.int32),
+               jnp.clip(jnp.round(tx), 0, tw - 1).astype(jnp.int32)]
+
+
+@partial(jax.jit, static_argnames=("h", "w", "ry", "rx", "bilinear",
+                                   "interpret"))
+def rasterize_texture_buffers_tiled(vertices, triangles, tex_coords,
+                                    texture, *, h: int, w: int, ry: int = 2,
+                                    rx: int = 2, bilinear: bool = True,
+                                    interpret: bool = False):
+    """Tiled-Pallas variant of :func:`rasterize_texture_buffers`: the UV
+    coordinates ride as two affine payload planes through the tile-binned
+    kernel, and the winning pixel's UVs drive the texture sample."""
+    from synergynet_tpu.render.raster import DEPTH_INIT
+    from synergynet_tpu.render.raster_tiled import _plane_setup, _run_tiled
+
+    tc = tex_coords.astype(jnp.float32)
+    rec = _plane_setup(vertices, triangles, [tc[:, 0], tc[:, 1]])
+    zbuf, pays = _run_tiled(rec, vertices, triangles, h=h, w=w, ry=ry,
+                            rx=rx, n_payload=2, interpret=interpret)
+    drawn = zbuf > DEPTH_INIT
+    ubuf = jnp.where(drawn, pays[0], 0.0)
+    vbuf = jnp.where(drawn, pays[1], 0.0)
+    return zbuf, _sample_texture(ubuf, vbuf, texture, bilinear)
 
 
 def render_texture(vertices, triangles, tex_coords, texture, bg,
@@ -84,11 +109,21 @@ def render_texture(vertices, triangles, tex_coords, texture, bg,
     """
     bg = np.asarray(bg, np.uint8)
     h, w = bg.shape[:2]
-    if window is None:
-        window = window_for(vertices, triangles)
-    zbuf, color = rasterize_texture_buffers(
-        jnp.asarray(vertices, jnp.float32), jnp.asarray(triangles, jnp.int32),
-        jnp.asarray(tex_coords, jnp.float32), jnp.asarray(texture),
-        h=h, w=w, win_h=window[0], win_w=window[1], bilinear=bilinear)
+    if jax.default_backend() == "tpu":
+        from synergynet_tpu.render.raster_tiled import replication_for
+        ry, rx = replication_for(vertices, triangles)
+        zbuf, color = rasterize_texture_buffers_tiled(
+            jnp.asarray(vertices, jnp.float32),
+            jnp.asarray(triangles, jnp.int32),
+            jnp.asarray(tex_coords, jnp.float32), jnp.asarray(texture),
+            h=h, w=w, ry=ry, rx=rx, bilinear=bilinear)
+    else:
+        if window is None:
+            window = window_for(vertices, triangles)
+        zbuf, color = rasterize_texture_buffers(
+            jnp.asarray(vertices, jnp.float32),
+            jnp.asarray(triangles, jnp.int32),
+            jnp.asarray(tex_coords, jnp.float32), jnp.asarray(texture),
+            h=h, w=w, win_h=window[0], win_w=window[1], bilinear=bilinear)
     return np.asarray(blend_uint8(jnp.asarray(bg), zbuf, color,
                                   float(alpha), reverse=reverse))

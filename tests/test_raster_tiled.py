@@ -202,3 +202,26 @@ class TestRenderLitFaces:
                                 + 0.6 * solid.astype(np.float64) + 0.5),
                        0, 255).astype(np.uint8)
         np.testing.assert_array_equal(overlay, want)
+
+
+class TestTiledTexture:
+    def test_matches_window_texture_path(self):
+        import jax.numpy as jnp
+        from synergynet_tpu.render.texture import (
+            rasterize_texture_buffers, rasterize_texture_buffers_tiled)
+        rng = np.random.default_rng(4)
+        verts, tris, _ = random_mesh(rng, nver=40, ntri=60)
+        tex_coords = rng.uniform(0, 1, (40, 2)).astype(np.float32)
+        texture = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+        ry, rx = replication_for(verts, tris)
+        zt, ct = rasterize_texture_buffers_tiled(
+            jnp.asarray(verts), jnp.asarray(tris), jnp.asarray(tex_coords),
+            jnp.asarray(texture), h=32, w=32, ry=ry, rx=rx, interpret=True)
+        zs, cs = rasterize_texture_buffers(
+            jnp.asarray(verts), jnp.asarray(tris), jnp.asarray(tex_coords),
+            jnp.asarray(texture), h=32, w=32, win_h=32, win_w=32)
+        same = np.isclose(np.asarray(zt), np.asarray(zs), atol=1e-3)
+        assert same.mean() > 0.995
+        ok = same & (np.asarray(zt) > DEPTH_INIT)
+        np.testing.assert_allclose(np.asarray(ct)[ok], np.asarray(cs)[ok],
+                                   atol=2e-2)
