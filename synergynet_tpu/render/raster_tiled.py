@@ -54,6 +54,19 @@ G = 8                    # triangles evaluated per inner iteration
 REC_W = 32               # record row width (sublane-aligned)
 _NEVER = -3.4e38         # depth of non-covered / padding fragments
 
+# The binned program materializes (T * ry * rx) record rows of 128 f32
+# (512 B each). A face mesh at overlay scale needs ry*rx = 4 (~200 MB);
+# a pathological mesh of canvas-spanning triangles can demand ry*rx in
+# the hundreds, which would OOM deep inside XLA. Entry points check this
+# budget (rows, = 2 GiB of records) and fall back to the host paths.
+REPLICATION_ROW_BUDGET = 4_000_000
+
+
+def within_replication_budget(n_triangles: int, ry: int, rx: int) -> bool:
+    """True when the (ry, rx) copy grid keeps the binned record array
+    under :data:`REPLICATION_ROW_BUDGET` rows."""
+    return n_triangles * ry * rx <= REPLICATION_ROW_BUDGET
+
 # Record row layout (f32):
 #   0-2    Au Bu Cu        u(p) = Au*x + Bu*y + Cu
 #   3-5    Av Bv Cv        v(p)
@@ -435,6 +448,27 @@ def rasterize_tiled(vertices, triangles, colors, bg=None, height=None,
         bg = np.zeros((height, width, channel or 3), np.uint8)
     if replication is None:
         replication = replication_for(vertices, triangles)
+    tr = np.asarray(triangles)
+    if not within_replication_budget(tr.shape[0], *replication):
+        # Canvas-spanning triangles: the copy grid would blow the record
+        # budget. The native scalar z-buffer is O(sum bbox) with no
+        # replication and is oracle-verified to the same contract.
+        import warnings
+        from synergynet_tpu import native
+        warnings.warn(
+            f"tiled rasterizer copy grid ry*rx={replication[0]}*"
+            f"{replication[1]} over budget for {tr.shape[0]} triangles; "
+            "falling back to the native host rasterizer", RuntimeWarning)
+        if not native.native_available():
+            raise RuntimeError(
+                "mesh needs a replication grid over REPLICATION_ROW_BUDGET "
+                "and the native host rasterizer is unavailable; downscale "
+                "the canvas or split the mesh")
+        img, _ = native.rasterize_cpu(
+            np.asarray(vertices, np.float32), tr.astype(np.int32),
+            np.asarray(colors, np.float32), bg, alpha=float(alpha),
+            reverse=reverse)
+        return img
     interpret = jax.default_backend() != "tpu"
     zbuf, color = rasterize_buffers_tiled(
         vertices, triangles, colors, h=height, w=width,

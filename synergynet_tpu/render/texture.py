@@ -109,9 +109,19 @@ def render_texture(vertices, triangles, tex_coords, texture, bg,
     """
     bg = np.asarray(bg, np.uint8)
     h, w = bg.shape[:2]
-    if jax.default_backend() == "tpu":
-        from synergynet_tpu.render.raster_tiled import replication_for
+    use_tiled = jax.default_backend() == "tpu"
+    if use_tiled:
+        from synergynet_tpu.render.raster_tiled import (
+            replication_for, within_replication_budget)
         ry, rx = replication_for(vertices, triangles)
+        if not within_replication_budget(
+                np.asarray(triangles).shape[0], ry, rx):
+            import warnings
+            warnings.warn(
+                f"tiled texture copy grid ry*rx={ry}*{rx} over budget; "
+                "falling back to the window path", RuntimeWarning)
+            use_tiled = False
+    if use_tiled:
         zbuf, color = rasterize_texture_buffers_tiled(
             jnp.asarray(vertices, jnp.float32),
             jnp.asarray(triangles, jnp.int32),

@@ -225,3 +225,49 @@ class TestTiledTexture:
         ok = same & (np.asarray(zt) > DEPTH_INIT)
         np.testing.assert_allclose(np.asarray(ct)[ok], np.asarray(cs)[ok],
                                    atol=2e-2)
+
+
+class TestReplicationBudget:
+    """Pathological meshes (canvas-spanning triangles) must not OOM the
+    binned program — entry points fall back to host paths instead."""
+
+    def test_within_budget_math(self):
+        from synergynet_tpu.render.raster_tiled import (
+            REPLICATION_ROW_BUDGET, within_replication_budget)
+        assert within_replication_budget(105840, 2, 2)
+        assert not within_replication_budget(
+            REPLICATION_ROW_BUDGET // 4 + 1, 2, 2)
+
+    def test_rasterize_tiled_falls_back_to_native(self, monkeypatch):
+        from synergynet_tpu import native
+        from synergynet_tpu.render import raster_tiled
+        if not native.native_available():
+            native.build_native()
+        rng = np.random.default_rng(7)
+        verts, tris, colors = random_mesh(rng)
+        bg = rng.integers(0, 255, (32, 32, 3), np.uint8)
+        monkeypatch.setattr(raster_tiled, "REPLICATION_ROW_BUDGET", 10)
+        with pytest.warns(RuntimeWarning, match="over budget"):
+            got = rasterize_tiled(verts, tris, colors, bg=bg, alpha=1.0)
+        want, _ = oracle_rasterize(bg, verts, tris, colors)
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert (diff > 1).mean() < 0.003
+
+    def test_render_texture_falls_back_to_window_path(self, monkeypatch):
+        import jax
+        from synergynet_tpu.render import raster_tiled
+        from synergynet_tpu.render.texture import render_texture
+        rng = np.random.default_rng(8)
+        verts, tris, _ = random_mesh(rng)
+        tex_coords = rng.uniform(0, 1, (40, 2)).astype(np.float32)
+        texture = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+        bg = rng.integers(0, 255, (32, 32, 3), np.uint8)
+        want = render_texture(verts, tris, tex_coords, texture, bg)
+        # Pretend we are on TPU with a tiny budget: the tiled branch must
+        # warn and route to the window path (identical output), never
+        # reaching the (un-lowerable-on-CPU) Pallas program.
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(raster_tiled, "REPLICATION_ROW_BUDGET", 10)
+        with pytest.warns(RuntimeWarning, match="over budget"):
+            got = render_texture(verts, tris, tex_coords, texture, bg)
+        np.testing.assert_array_equal(got, want)
