@@ -79,17 +79,25 @@ def main():
         float(bench_loop(*args, n))                       # scalar fetch = sync
         return time.perf_counter() - t0
 
-    t_small = min(run(N_SMALL) for _ in range(3))
-    t_large = min(run(N_LARGE) for _ in range(3))
-    per_frame = (t_large - t_small) / (N_LARGE - N_SMALL)
-
-    fps = FACES_PER_FRAME / per_frame
+    # Five independent slope estimates, interleaved so chip contention
+    # spreads across all of them; report the median with the band in
+    # "extra" (the shared chip shows large run-to-run variance).
+    slopes = []
+    for _ in range(5):
+        t_small = min(run(N_SMALL) for _ in range(2))
+        t_large = min(run(N_LARGE) for _ in range(2))
+        slopes.append((t_large - t_small) / (N_LARGE - N_SMALL))
+    fps_all = sorted(FACES_PER_FRAME / s for s in slopes)
+    fps = fps_all[len(fps_all) // 2]
     print(json.dumps({
         "metric": "faces/sec/chip end-to-end (detect + crop + regress + "
                   "68-lmk + dense-mesh + pose, 8 faces/frame @720x1088)",
         "value": round(fps, 1),
         "unit": "faces/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "extra": {"fps_min": round(fps_all[0], 1),
+                  "fps_max": round(fps_all[-1], 1),
+                  "n_slope_estimates": len(fps_all)},
     }))
 
 

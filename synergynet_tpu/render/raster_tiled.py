@@ -255,20 +255,31 @@ def _prepare(rec, vertices, triangles, *, h, w, ry, rx):
              & ~empty[:, None, None])
     bins = jnp.where(valid, bys * nbx + bxs, nbins).reshape(-1)   # (T*R,)
 
-    # One stable key-value sort gives both the sorted bins and the copy
-    # order (no post-sort gather); copy index // R is the triangle index,
-    # so the per-bin order is triangle order — which the depth-test
-    # tie-break relies on.
+    # Order copies by (bin, copy index). Copy index // R is the triangle
+    # index, so the per-bin order is triangle order — which the depth-test
+    # tie-break relies on. When both fields fit one int32 (every realistic
+    # canvas/mesh), pack bin into the high bits and sort ONE array — the
+    # distinct packed keys make the sort order identical to the stable
+    # (bin, idx) pair sort, at roughly half the sort cost — and search the
+    # packed keys directly for the segment starts.
     copy_idx = jnp.arange(t * rcount, dtype=jnp.int32)
-    sorted_bins, order = jax.lax.sort((bins, copy_idx), num_keys=1,
-                                      is_stable=True)
+    idx_bits = max(1, int(t * rcount - 1).bit_length())
+    if idx_bits + int(nbins + 1).bit_length() <= 31:
+        packed = jax.lax.sort((bins << idx_bits) | copy_idx)
+        order = packed & ((1 << idx_bits) - 1)
+        seg_keys = packed
+        seg_queries = jnp.arange(nbins + 1) << idx_bits
+    else:
+        seg_keys, order = jax.lax.sort((bins, copy_idx), num_keys=1,
+                                       is_stable=True)
+        seg_queries = jnp.arange(nbins + 1)
 
     # Per-bin segments; every bin gets >= 1 chunk so its output tile is
     # initialized even when empty. All arrays here are bin- or
     # chunk-indexed (a few hundred to ~2K entries) — per-SLOT maps are
     # derived by broadcasting, never by 100K+-element scalar gathers.
     # compare_all beats the default scan lowering ~4x at this size.
-    starts = jnp.searchsorted(sorted_bins, jnp.arange(nbins + 1),
+    starts = jnp.searchsorted(seg_keys, seg_queries,
                               method="compare_all").astype(jnp.int32)
     counts = starts[1:] - starts[:-1]                              # (NBINS,)
     nchunks = jnp.maximum(-(-counts // CHUNK), 1)
@@ -312,7 +323,7 @@ def _launch(c2b, ccount, src0, rec_sorted, *, h, w, n_payload, interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(total_chunks_max,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # HBM-resident
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # HBM-resident
         out_specs=[tile_spec for _ in range(1 + n_payload)],
         scratch_shapes=[
             pltpu.VMEM((2, CHUNK, 128), jnp.float32),      # double buffer
