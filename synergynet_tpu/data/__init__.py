@@ -7,7 +7,8 @@ from synergynet_tpu.data.transforms import (  # noqa: F401
 )
 from synergynet_tpu.data.loader import PrefetchLoader, shard_batches  # noqa: F401
 from synergynet_tpu.data.synthetic import (  # noqa: F401
-    make_crops_with_params, make_synthetic_aflw2000, sample_params,
+    GeneratedCropDataset, make_crops_with_params, make_synthetic_aflw2000,
+    sample_params,
 )
 from synergynet_tpu.data.device_augment import device_augment  # noqa: F401
 from synergynet_tpu.data.ingest import (  # noqa: F401

@@ -76,15 +76,34 @@ class PrefetchLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        # Vectorized fast path: a dataset exposing ``fetch_batch(indices)``
+        # (e.g. GeneratedCropDataset) builds whole batches in numpy — worker
+        # threads each generate a slab. Per-item fetching caps generated
+        # data at ~1.4K crops/s; slab generation sustains the >17K crops/s
+        # a TPU train step consumes. Host transforms are per-item, so the
+        # fast path only engages without one.
+        batched = (getattr(self.dataset, "fetch_batch", None)
+                   if getattr(self.dataset, "transform", None) is None
+                   else None)
+
+        def make_batch(pool, idx):
+            if batched is None:
+                samples = list(pool.map(self._fetch, idx))
+                return tuple(np.stack([s[i] for s in samples])
+                             for i in range(len(samples[0])))
+            slabs = np.array_split(
+                idx, max(1, min(self.num_workers, len(idx) // 128)))
+            parts = list(pool.map(batched, slabs))
+            return tuple(np.concatenate([p[i] for p in parts])
+                         for i in range(len(parts[0])))
+
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for b in range(nb):
                     if stop.is_set():
                         return
                     idx = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    samples = list(pool.map(self._fetch, idx))
-                    parts = tuple(np.stack([s[i] for s in samples])
-                                  for i in range(len(samples[0])))
+                    parts = make_batch(pool, idx)
                     out_q.put(parts if len(parts) > 1 else parts[0])
             out_q.put(None)
 

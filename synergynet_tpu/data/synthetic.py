@@ -95,3 +95,76 @@ def make_synthetic_aflw2000(n: int, pack: Optional[ParamPack] = None,
         "pose_gt_pyr": np.delete(pose_gt_pyr, skip, axis=0).astype(np.float32),
         "skip_indices": skip,
     }
+
+
+class GeneratedCropDataset:
+    """Streaming variant of :func:`make_crops_with_params`: the 680K-crop
+    300W-LP scale (reference README.md:111, train_script.sh:21-22) cannot be
+    materialized (~29 GB of uint8 crops), so each crop is synthesized on
+    demand from ``(seed, index)`` — bit-stable across epochs like a real
+    on-disk dataset — while the 62-d parameters and painted landmarks are
+    precomputed in bulk (float arrays, ~0.7 GB at 680K).
+
+    Yields the same (image uint8 HWC, param62) item contract as
+    :class:`synergynet_tpu.data.datasets.ArrayDataset`; the loader-supplied
+    per-(epoch, index) rng drives only the optional transform, never the
+    crop content.
+    """
+
+    def __init__(self, n: int, pack: Optional[ParamPack] = None,
+                 seed: int = 0, size: int = 120, transform=None,
+                 decode_chunk: int = 65536):
+        import jax.numpy as jnp
+        from synergynet_tpu.mm3d import decode_landmarks
+
+        pack = pack or load_param_pack()
+        rng = np.random.default_rng(seed)
+        self.params = sample_params(rng, n)
+        n_lmk = len(pack.keypoints) // 3
+        lmk = np.empty((n, 3, n_lmk), np.float32)
+        for s in range(0, n, decode_chunk):
+            e = min(s + decode_chunk, n)
+            lmk[s:e] = np.asarray(
+                decode_landmarks(jnp.asarray(self.params[s:e]), pack))
+        self.lmk = lmk
+        self.seed = seed
+        self.size = size
+        self.transform = transform
+        # Background bank: per-crop background = one of 997 precomputed
+        # base-plus-noise rows (43 MB) picked by index, so generation is a
+        # single row gather + landmark paint. Hashing fresh noise per pixel
+        # was host-memory-bound (~0.6 s per 1024-crop batch); even a
+        # separate base add cost a second 44 MB pass. The per-row base
+        # levels reproduce make_crops_with_params' [40, 90) channel range.
+        bank_rng = np.random.default_rng(seed + 1)
+        base = bank_rng.integers(40, 90, (997, 1, 3))
+        noise = bank_rng.integers(0, 30, (997, size * size, 3))
+        self._bg_bank = (base + noise).astype(np.uint8).reshape(997, -1)
+
+    def __len__(self) -> int:
+        return len(self.params)
+
+    def generate_images(self, indices: np.ndarray) -> np.ndarray:
+        """Vectorized crop synthesis for a batch of indices: one background
+        bank row gather (per-index bit-stable) + painted landmarks.
+        Per-item generation capped throughput at ~1.4K crops/s; this path
+        sustains tens of thousands per second."""
+        idx = np.asarray(indices, np.int64)
+        b, size = len(idx), self.size
+        images = self._bg_bank[idx % self._bg_bank.shape[0]
+                               ].reshape(b, size, size, 3)
+        _paint_landmarks(images, self.lmk[idx])
+        return images
+
+    def fetch_batch(self, indices: np.ndarray):
+        """Vectorized (images, params) batch — the PrefetchLoader fast path
+        (used when no host transform is configured)."""
+        idx = np.asarray(indices)
+        return self.generate_images(idx), self.params[idx]
+
+    def __getitem__(self, index: int,
+                    rng: Optional[np.random.Generator] = None):
+        img = self.generate_images(np.asarray([index]))[0]
+        if self.transform is not None:
+            img = self.transform(img, rng)
+        return img, self.params[index]

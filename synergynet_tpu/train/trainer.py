@@ -56,6 +56,12 @@ def build_dataset(cfg: Config):
                                transform=transform)
     log.info("no 300W-LP filelist configured; using synthetic dataset "
              "(%d crops)", d.synthetic_size)
+    if d.synthetic_size > 100_000:
+        # 300W-LP scale cannot be materialized (~29 GB at 680K crops);
+        # stream bit-stable crops generated per index instead.
+        from synergynet_tpu.data import GeneratedCropDataset
+        return GeneratedCropDataset(d.synthetic_size, seed=cfg.train.seed,
+                                    transform=transform)
     syn = make_crops_with_params(d.synthetic_size, seed=cfg.train.seed)
     return ArrayDataset(syn["images"], syn["params"], transform=transform)
 
@@ -129,6 +135,20 @@ class Trainer:
         data_time = AverageMeter()
         batch_time = AverageMeter()
         rng = jax.random.fold_in(jax.random.PRNGKey(t.seed), epoch)
+        # Metric fetches are deferred to print boundaries: a per-step
+        # float() is a device sync, which on a remote-TPU link serializes
+        # every step on the round-trip. Keeping up to print_freq metric
+        # pytrees on device lets XLA pipeline the steps back to back.
+        pending = []
+
+        def flush():
+            for metrics, n, step_no in pending:
+                host = {k: float(v) for k, v in metrics.items()}
+                bank.update(host, n=n)
+                if host.get("skipped"):
+                    log.warning("[NAN case] skipped step %d", step_no)
+            pending.clear()
+
         end = time.time()
         for i, (images, params) in enumerate(self.loader):
             data_time.update(time.time() - end)
@@ -136,18 +156,17 @@ class Trainer:
                 self.mesh, (images, params.astype(np.float32)))
             self.state, metrics = self.step_fn(self.state, batch[0],
                                                batch[1], rng)
-            host = {k: float(v) for k, v in metrics.items()}
-            bank.update(host, n=images.shape[0])
+            pending.append((metrics, images.shape[0], i))
             batch_time.update(time.time() - end)
             end = time.time()
             if i % t.print_freq == 0:
+                flush()
                 lr = float(self.lr_fn(int(self.state.step) - 1))
                 log.info("[%d][%d/%d] LR: %.8f Time: %.3f(%.3f) %s",
                          epoch, i, len(self.loader), lr, batch_time.val,
                          batch_time.avg, bank.format())
-            if host.get("skipped"):
-                log.warning("[NAN case] skipped step %d",
-                            int(self.state.step))
+                end = time.time()
+        flush()
         return bank
 
     def fit(self, epochs: Optional[int] = None) -> dict:
