@@ -32,6 +32,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=80)
     ap.add_argument("--size", type=int, default=680_000)
+    ap.add_argument("--resident", action="store_true",
+                    help="device-resident mode: upload the dataset to HBM "
+                         "once and run one program per epoch (the dataset "
+                         "must fit device memory; 128K crops = 5.5 GB)")
     ap.add_argument("--snapshot-dir", default="/tmp/syn_full_recipe")
     ap.add_argument("--out", default="docs/FULL_RECIPE_RUN.json")
     args = ap.parse_args()
@@ -58,13 +62,28 @@ def main():
     print(f"setup (incl. 680K-param decode) {setup_s:.1f}s", flush=True)
 
     t1 = time.time()
-    history = trainer.fit()
+    if args.resident:
+        import numpy as np
+        from synergynet_tpu.train import fit_resident
+        ds = trainer.dataset
+        imgs = ds.generate_images(np.arange(len(ds)))
+        print(f"generated {len(imgs)} crops "
+              f"({imgs.nbytes / 2**30:.2f} GiB) in {time.time()-t1:.1f}s",
+              flush=True)
+        history = fit_resident(
+            trainer, imgs, ds.params,
+            log_fn=lambda e, m: print(
+                f"[epoch {e}] loss {m['loss_total']:.4f} "
+                f"skipped {m['skipped']:.3f}", flush=True))
+    else:
+        history = trainer.fit()
     train_s = time.time() - t1
 
     out = {
         "recipe": {"batch_size": 1024, "epochs": args.epochs,
                    "dataset_size": args.size, "base_lr": 0.08,
                    "milestones": [48, 64], "warmup": 5,
+                   "device_resident": args.resident,
                    "device_augment": True, "compute_dtype": "bfloat16"},
         "wall_seconds_train": round(train_s, 1),
         "wall_seconds_setup": round(setup_s, 1),

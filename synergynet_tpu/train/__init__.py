@@ -9,3 +9,6 @@ from synergynet_tpu.train.meters import AverageMeter, MeterBank  # noqa: F401
 from synergynet_tpu.train.trainer import (  # noqa: F401
     Trainer, build_dataset, make_synthetic_eval_hook,
 )
+from synergynet_tpu.train.resident import (  # noqa: F401
+    fit_resident, make_epoch_program, shard_resident_arrays,
+)

@@ -1,0 +1,139 @@
+"""Device-resident training: the whole dataset in HBM, one dispatch per epoch.
+
+The reference (and round-1's Trainer) feed the chip one host batch at a
+time (reference main_train.py:103-153). For datasets that fit device
+memory — 300W-LP's ~680K 120x120 crops are 29 GB, i.e. HBM-resident when
+sharded over >=4 chips, and a 128K-crop shard (5.5 GB) fits ONE chip —
+the TPU-native design removes the host from the loop entirely:
+
+- the crop/param arrays are uploaded once, sharded over the mesh's
+  ``data`` axis (leading shard axis D);
+- every epoch compiles to ONE program: each data-shard draws its own
+  on-device permutation (``jax.random.permutation`` per shard row, fully
+  local), and a ``lax.fori_loop`` over steps gathers (D, B/D) local
+  batches with ``take_along_axis`` — no cross-shard traffic, no host
+  round-trips, no input pipeline to starve the MXU;
+- the existing :func:`make_train_step` runs unchanged inside the loop
+  (5-loss synergy criterion, fused device augmentation, NaN-skip), so
+  data-parallel gradient psums still cross the mesh each step;
+- per-epoch mean metrics come back with a single host sync per epoch.
+
+Over this environment's remote-TPU tunnel the host loop pays ~1.2 s/step
+re-uploading each 44 MB batch (37 MB/s link); device-resident epochs run
+at the step's native ~58 ms with one upload total.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from synergynet_tpu.core import mesh as meshlib
+from synergynet_tpu.mm3d.assets import ParamPack
+from synergynet_tpu.train.step import make_train_step
+
+
+def make_epoch_program(model, pack: ParamPack, optimizer, mesh,
+                       batch_size: int, augment: Optional[Callable] = None):
+    """Compile ``epoch(state, images, params62, key) -> (state, metrics)``.
+
+    ``images``: (D, n_local, H, W, C) uint8, sharded ``P('data')``;
+    ``params62``: (D, n_local, 62) float32, sharded the same;
+    ``metrics``: per-epoch means of the train-step metrics.
+    D is the mesh's data-axis size and B must divide D * n_local.
+    """
+    step = make_train_step(model, pack, optimizer, augment=augment)
+    d = mesh.shape[meshlib.DATA_AXIS]
+    if batch_size % d:
+        raise ValueError(f"batch {batch_size} not divisible by data={d}")
+    b_local = batch_size // d
+
+    def epoch(state, images, params62, key):
+        nl = images.shape[1]
+        steps = (d * nl) // batch_size
+        # One independent permutation per data shard (vmap over the shard
+        # row keeps the sampling local to each chip).
+        shard_keys = jax.random.split(jax.random.fold_in(key, 17), d)
+        perms = jax.vmap(lambda k: jax.random.permutation(k, nl))(shard_keys)
+        perms = lax.with_sharding_constraint(
+            perms, NamedSharding(mesh, P(meshlib.DATA_AXIS)))
+
+        def run_step(i, state):
+            idx = lax.dynamic_slice_in_dim(perms, i * b_local, b_local, 1)
+            bimg = jnp.take_along_axis(
+                images, idx[:, :, None, None, None], axis=1)
+            btgt = jnp.take_along_axis(params62, idx[:, :, None], axis=1)
+            return step(state,
+                        bimg.reshape(batch_size, *images.shape[2:]),
+                        btgt.reshape(batch_size, 62), key)
+
+        state, m0 = run_step(0, state)
+
+        def body(i, carry):
+            state, acc = carry
+            state, m = run_step(i, state)
+            return state, jax.tree.map(jnp.add, acc, m)
+
+        state, acc = lax.fori_loop(1, steps, body, (state, m0))
+        return state, jax.tree.map(lambda a: a / steps, acc)
+
+    rep = meshlib.replicated(mesh)
+    dsh = NamedSharding(mesh, P(meshlib.DATA_AXIS))
+    return jax.jit(epoch,
+                   in_shardings=(rep, dsh, dsh, rep),
+                   out_shardings=(rep, rep),
+                   donate_argnums=(0,))
+
+
+def shard_resident_arrays(mesh, images: np.ndarray, params62: np.ndarray
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """Upload (n, H, W, C) crops + (n, 62) params once, reshaped to the
+    (D, n/D, ...) shard layout the epoch program consumes."""
+    d = mesh.shape[meshlib.DATA_AXIS]
+    n = (len(images) // d) * d
+    imgs = images[:n].reshape(d, n // d, *images.shape[1:])
+    tgts = params62[:n].reshape(d, n // d, params62.shape[1])
+    dsh = NamedSharding(mesh, P(meshlib.DATA_AXIS))
+    return (jax.device_put(imgs, dsh),
+            jax.device_put(tgts.astype(np.float32), dsh))
+
+
+def fit_resident(trainer, images: np.ndarray, params62: np.ndarray,
+                 epochs: Optional[int] = None,
+                 log_fn: Optional[Callable] = None) -> Dict[int, dict]:
+    """Drive a :class:`synergynet_tpu.train.trainer.Trainer`'s state through
+    device-resident epochs (same checkpoints/eval hooks/history contract as
+    ``Trainer.fit``, one dispatch + one metric sync per epoch)."""
+    cfg = trainer.cfg
+    t = cfg.train
+    epochs = epochs if epochs is not None else t.epochs
+    augment = None
+    if cfg.data.device_augment:
+        from functools import partial
+        from synergynet_tpu.data.device_augment import device_augment
+        dd = cfg.data
+        augment = partial(device_augment, jitter=tuple(dd.jitter),
+                          border=dd.border, occlusion_prob=dd.occlusion_prob)
+    epoch_fn = make_epoch_program(trainer.model, trainer.pack,
+                                  trainer.optimizer, trainer.mesh,
+                                  t.batch_size, augment=augment)
+    g_imgs, g_tgts = shard_resident_arrays(trainer.mesh, images, params62)
+    key = jax.random.PRNGKey(t.seed)
+    history: Dict[int, dict] = {}
+    for epoch in range(trainer.start_epoch, epochs + 1):
+        trainer.state, metrics = epoch_fn(
+            trainer.state, g_imgs, g_tgts, jax.random.fold_in(key, epoch))
+        host = {k: float(v) for k, v in metrics.items()}
+        history[epoch] = host
+        if log_fn:
+            log_fn(epoch, host)
+        if epoch % t.save_val_freq == 0 or epoch == epochs:
+            trainer.save(epoch)
+            if trainer.eval_hook:
+                history[epoch]["eval"] = trainer.eval_hook(trainer)
+    return history
