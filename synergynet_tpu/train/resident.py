@@ -53,7 +53,11 @@ def make_epoch_program(model, pack: ParamPack, optimizer, mesh,
         raise ValueError(f"batch {batch_size} not divisible by data={d}")
     b_local = batch_size // d
 
-    def epoch(state, images, params62, key):
+    def epoch(state, images, params62, key, hwc):
+        # ``images`` is (D, n_local, H*W*C) uint8: row gathers on a 2-D
+        # (per shard) layout are tile-natural; a 5-D image array made XLA
+        # materialize two full transposed-layout copies (~11 GB of HLO
+        # temps for a 5.3 GB dataset) to serve the same gather.
         nl = images.shape[1]
         steps = (d * nl) // batch_size
         # One independent permutation per data shard (vmap over the shard
@@ -65,11 +69,10 @@ def make_epoch_program(model, pack: ParamPack, optimizer, mesh,
 
         def run_step(i, state):
             idx = lax.dynamic_slice_in_dim(perms, i * b_local, b_local, 1)
-            bimg = jnp.take_along_axis(
-                images, idx[:, :, None, None, None], axis=1)
+            bimg = jnp.take_along_axis(images, idx[:, :, None], axis=1)
             btgt = jnp.take_along_axis(params62, idx[:, :, None], axis=1)
             return step(state,
-                        bimg.reshape(batch_size, *images.shape[2:]),
+                        bimg.reshape(batch_size, *hwc),
                         btgt.reshape(batch_size, 62), key)
 
         state, m0 = run_step(0, state)
@@ -87,20 +90,23 @@ def make_epoch_program(model, pack: ParamPack, optimizer, mesh,
     return jax.jit(epoch,
                    in_shardings=(rep, dsh, dsh, rep),
                    out_shardings=(rep, rep),
-                   donate_argnums=(0,))
+                   donate_argnums=(0,),
+                   static_argnums=(4,))
 
 
 def shard_resident_arrays(mesh, images: np.ndarray, params62: np.ndarray
-                          ) -> Tuple[jax.Array, jax.Array]:
-    """Upload (n, H, W, C) crops + (n, 62) params once, reshaped to the
-    (D, n/D, ...) shard layout the epoch program consumes."""
+                          ) -> Tuple[jax.Array, jax.Array, Tuple[int, ...]]:
+    """Upload (n, H, W, C) crops + (n, 62) params once, flattened to the
+    (D, n/D, H*W*C) shard layout the epoch program consumes. Returns the
+    device arrays and the static per-crop (H, W, C) shape."""
     d = mesh.shape[meshlib.DATA_AXIS]
     n = (len(images) // d) * d
-    imgs = images[:n].reshape(d, n // d, *images.shape[1:])
+    hwc = tuple(images.shape[1:])
+    imgs = images[:n].reshape(d, n // d, -1)
     tgts = params62[:n].reshape(d, n // d, params62.shape[1])
     dsh = NamedSharding(mesh, P(meshlib.DATA_AXIS))
     return (jax.device_put(imgs, dsh),
-            jax.device_put(tgts.astype(np.float32), dsh))
+            jax.device_put(tgts.astype(np.float32), dsh), hwc)
 
 
 def fit_resident(trainer, images: np.ndarray, params62: np.ndarray,
@@ -122,12 +128,14 @@ def fit_resident(trainer, images: np.ndarray, params62: np.ndarray,
     epoch_fn = make_epoch_program(trainer.model, trainer.pack,
                                   trainer.optimizer, trainer.mesh,
                                   t.batch_size, augment=augment)
-    g_imgs, g_tgts = shard_resident_arrays(trainer.mesh, images, params62)
+    g_imgs, g_tgts, hwc = shard_resident_arrays(trainer.mesh, images,
+                                                params62)
     key = jax.random.PRNGKey(t.seed)
     history: Dict[int, dict] = {}
     for epoch in range(trainer.start_epoch, epochs + 1):
         trainer.state, metrics = epoch_fn(
-            trainer.state, g_imgs, g_tgts, jax.random.fold_in(key, epoch))
+            trainer.state, g_imgs, g_tgts, jax.random.fold_in(key, epoch),
+            hwc)
         host = {k: float(v) for k, v in metrics.items()}
         history[epoch] = host
         if log_fn:

@@ -218,14 +218,15 @@ class TestDeviceResident:
         n, b = 64, 16
         images = rng.integers(0, 255, (n, 120, 120, 3)).astype(np.uint8)
         params = rng.normal(0, 0.4, (n, 62)).astype(np.float32)
-        g_imgs, g_tgts = shard_resident_arrays(mesh, images, params)
-        assert g_imgs.shape == (4, 16, 120, 120, 3)
+        g_imgs, g_tgts, hwc = shard_resident_arrays(mesh, images, params)
+        assert g_imgs.shape == (4, 16, 120 * 120 * 3)
+        assert hwc == (120, 120, 3)
         epoch_fn = make_epoch_program(model, small_pack, opt, mesh, b)
         key = jax.random.PRNGKey(1)
         losses = []
         for e in range(2):
             state, metrics = epoch_fn(state, g_imgs, g_tgts,
-                                      jax.random.fold_in(key, e))
+                                      jax.random.fold_in(key, e), hwc)
             losses.append(float(metrics["loss_total"]))
             assert float(metrics["skipped"]) == 0.0
         # 2 epochs x 4 steps advanced the state, and SGD on a fixed
