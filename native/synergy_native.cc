@@ -117,6 +117,91 @@ void syn_rasterize(const float* vertices, const int32_t* triangles,
   }
 }
 
+// UV texture-mapped z-buffer render — the native equivalent of the
+// reference's _render_texture_core (Sim3DR/lib/rasterize_kernel.cpp,
+// declared rasterize.h:103-108 but never exposed through its Cython
+// bridge) and of render/texture.py's sampling semantics: per-pixel UVs
+// interpolated from the winning triangle, v measured from the bottom,
+// optional bilinear filtering. texture: (th, tw, 3) float32 in [0, 1].
+// image/depth conventions match syn_rasterize.
+void syn_render_texture(const float* vertices, const int32_t* triangles,
+                        const float* tex_coords, const float* texture,
+                        int32_t ntri, int32_t h, int32_t w,
+                        int32_t th, int32_t tw, uint8_t* image, float* depth,
+                        float alpha, int32_t reverse, int32_t bilinear) {
+  for (int32_t t = 0; t < ntri; ++t) {
+    const int32_t ia = triangles[3 * t], ib = triangles[3 * t + 1],
+                  ic = triangles[3 * t + 2];
+    const float* pa = vertices + 3 * ia;
+    const float* pb = vertices + 3 * ib;
+    const float* pc = vertices + 3 * ic;
+
+    int32_t x0 = (int32_t)std::floor(std::fmin(pa[0], std::fmin(pb[0], pc[0])));
+    int32_t x1 = (int32_t)std::ceil(std::fmax(pa[0], std::fmax(pb[0], pc[0])));
+    int32_t y0 = (int32_t)std::floor(std::fmin(pa[1], std::fmin(pb[1], pc[1])));
+    int32_t y1 = (int32_t)std::ceil(std::fmax(pa[1], std::fmax(pb[1], pc[1])));
+    x0 = x0 < 0 ? 0 : x0;
+    y0 = y0 < 0 ? 0 : y0;
+    x1 = x1 > w - 1 ? w - 1 : x1;
+    y1 = y1 > h - 1 ? h - 1 : y1;
+    if (x1 < x0 || y1 < y0) continue;
+
+    const TriCoeffs c = bary_coeffs(pa, pb, pc);
+    for (int32_t y = y0; y <= y1; ++y) {
+      const float uy = c.degenerate ? 0.f : c.u0 + c.uy * (float)y;
+      const float vy = c.degenerate ? 0.f : c.v0 + c.vy * (float)y;
+      for (int32_t x = x0; x <= x1; ++x) {
+        const float u = c.degenerate ? 0.f : uy + c.ux * (float)x;
+        const float v = c.degenerate ? 0.f : vy + c.vx * (float)x;
+        if (!(u >= 0.f && v >= 0.f && u + v < 1.f)) continue;
+        const float w0 = 1.f - u - v, w1 = v, w2 = u;
+        const float z = w0 * pa[2] + w1 * pb[2] + w2 * pc[2];
+        float* zp = depth + (size_t)y * w + x;
+        if (z > *zp) {
+          const float uu = w0 * tex_coords[2 * ia] +
+                           w1 * tex_coords[2 * ib] + w2 * tex_coords[2 * ic];
+          const float vv = w0 * tex_coords[2 * ia + 1] +
+                           w1 * tex_coords[2 * ib + 1] +
+                           w2 * tex_coords[2 * ic + 1];
+          const float tx = uu * (float)(tw - 1);
+          const float ty = (1.f - vv) * (float)(th - 1);
+          float col[3];
+          if (bilinear) {
+            float fx0 = std::floor(tx), fy0 = std::floor(ty);
+            int32_t ix0 = (int32_t)fx0, iy0 = (int32_t)fy0;
+            ix0 = ix0 < 0 ? 0 : (ix0 > tw - 1 ? tw - 1 : ix0);
+            iy0 = iy0 < 0 ? 0 : (iy0 > th - 1 ? th - 1 : iy0);
+            const int32_t ix1 = ix0 + 1 > tw - 1 ? tw - 1 : ix0 + 1;
+            const int32_t iy1 = iy0 + 1 > th - 1 ? th - 1 : iy0 + 1;
+            const float gx = tx - (float)ix0, gy = ty - (float)iy0;
+            for (int k = 0; k < 3; ++k) {
+              const float c00 = texture[((size_t)iy0 * tw + ix0) * 3 + k];
+              const float c01 = texture[((size_t)iy0 * tw + ix1) * 3 + k];
+              const float c10 = texture[((size_t)iy1 * tw + ix0) * 3 + k];
+              const float c11 = texture[((size_t)iy1 * tw + ix1) * 3 + k];
+              col[k] = (c00 * (1.f - gx) + c01 * gx) * (1.f - gy) +
+                       (c10 * (1.f - gx) + c11 * gx) * gy;
+            }
+          } else {
+            int32_t ix = (int32_t)std::lround(tx);
+            int32_t iy = (int32_t)std::lround(ty);
+            ix = ix < 0 ? 0 : (ix > tw - 1 ? tw - 1 : ix);
+            iy = iy < 0 ? 0 : (iy > th - 1 ? th - 1 : iy);
+            for (int k = 0; k < 3; ++k)
+              col[k] = texture[((size_t)iy * tw + ix) * 3 + k];
+          }
+          const int32_t yy = reverse ? (h - 1 - y) : y;
+          uint8_t* px = image + ((size_t)yy * w + x) * 3;
+          for (int k = 0; k < 3; ++k)
+            px[k] = (uint8_t)((1.f - alpha) * (float)px[k] +
+                              alpha * 255.f * col[k]);
+          *zp = z;
+        }
+      }
+    }
+  }
+}
+
 // One-ring vertex normals: cross products accumulated per corner then
 // normalized (guarded by 1e-6 like the framework's get_ver_normal).
 void syn_vertex_normals(const float* vertices, const int32_t* triangles,

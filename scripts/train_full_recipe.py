@@ -64,8 +64,19 @@ def main():
     t1 = time.time()
     if args.resident:
         import numpy as np
+        from synergynet_tpu.data import GeneratedCropDataset
         from synergynet_tpu.train import fit_resident
+        crop_gib = args.size * 120 * 120 * 3 / 2**30
+        if crop_gib > 8:
+            raise SystemExit(
+                f"--resident --size {args.size} needs {crop_gib:.1f} GiB of "
+                "HBM per data shard; use <=196608 crops per chip (the full "
+                "680K-crop scale is device-resident sharded over >=4 chips)")
         ds = trainer.dataset
+        if not hasattr(ds, "generate_images"):
+            # Sizes <= 100K route build_dataset to the materialized
+            # ArrayDataset; resident mode always wants the generator.
+            ds = GeneratedCropDataset(args.size, seed=cfg.train.seed)
         imgs = ds.generate_images(np.arange(len(ds)))
         print(f"generated {len(imgs)} crops "
               f"({imgs.nbytes / 2**30:.2f} GiB) in {time.time()-t1:.1f}s",

@@ -53,9 +53,12 @@ def make_crops_with_params(n: int, pack: Optional[ParamPack] = None,
     params = sample_params(rng, n)
     lmk = np.asarray(decode_landmarks(jnp.asarray(params), pack))
 
-    base = rng.integers(40, 90, (n, 1, 1, 3))
-    noise = rng.integers(0, 30, (n, size, size, 3))
-    images = np.clip(base + noise, 0, 255).astype(np.uint8)
+    # uint8 end to end: the default int64 draws cost ~24 bytes/pixel of
+    # transient memory (~100 GB at n=100K); max value 89 + 29 < 256 needs
+    # no clip.
+    base = rng.integers(40, 90, (n, 1, 1, 3), dtype=np.uint8)
+    noise = rng.integers(0, 30, (n, size, size, 3), dtype=np.uint8)
+    images = base + noise
     _paint_landmarks(images, lmk)
     return {"images": images, "params": params, "landmarks": lmk}
 

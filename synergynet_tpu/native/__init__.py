@@ -69,6 +69,11 @@ def _load() -> ctypes.CDLL:
     lib.syn_vertex_normals.restype = None
     lib.syn_nms_mask.argtypes = [_f32p, ctypes.c_int32, ctypes.c_float, _u8p]
     lib.syn_nms_mask.restype = None
+    lib.syn_render_texture.argtypes = [
+        _f32p, _i32p, _f32p, _f32p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _u8p, _f32p,
+        ctypes.c_float, ctypes.c_int32, ctypes.c_int32]
+    lib.syn_render_texture.restype = None
     _lib = lib
     return lib
 
@@ -87,6 +92,33 @@ def rasterize_cpu(vertices: np.ndarray, triangles: np.ndarray,
     lib.syn_rasterize(v, t, c, np.int32(v.shape[0]), np.int32(t.shape[0]),
                       np.int32(h), np.int32(w), img, depth,
                       np.float32(alpha), np.int32(bool(reverse)))
+    return img, depth
+
+
+def render_texture_cpu(vertices: np.ndarray, triangles: np.ndarray,
+                       tex_coords: np.ndarray, texture: np.ndarray,
+                       bg: np.ndarray, alpha: float = 1.0,
+                       reverse: bool = False, bilinear: bool = True):
+    """Native UV texture-mapped render (same sampling semantics as
+    render/texture.py: v measured from the bottom, optional bilinear).
+    texture: (TH, TW, 3) uint8 or float in [0, 1]. Returns (image uint8,
+    depth float32)."""
+    lib = _load()
+    v = np.ascontiguousarray(vertices, np.float32)
+    t = np.ascontiguousarray(triangles, np.int32)
+    uv = np.ascontiguousarray(tex_coords, np.float32)
+    tex = np.asarray(texture)
+    if tex.dtype == np.uint8:
+        tex = tex.astype(np.float32) / 255.0
+    tex = np.ascontiguousarray(tex, np.float32)
+    img = np.ascontiguousarray(bg, np.uint8).copy()
+    h, w = img.shape[:2]
+    th, tw = tex.shape[:2]
+    depth = np.full((h, w), -1e8, np.float32)
+    lib.syn_render_texture(v, t, uv, tex, np.int32(t.shape[0]),
+                           np.int32(h), np.int32(w), np.int32(th),
+                           np.int32(tw), img, depth, np.float32(alpha),
+                           np.int32(bool(reverse)), np.int32(bool(bilinear)))
     return img, depth
 
 

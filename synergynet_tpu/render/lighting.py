@@ -152,6 +152,36 @@ class RenderPipeline:
         if window is None:
             window = (replication_for if tiled else window_for)(
                 np.asarray(vertices), np.asarray(triangles))
+        if tiled:
+            from synergynet_tpu.render.raster_tiled import (
+                within_replication_budget)
+            tr = np.asarray(triangles)
+            if not within_replication_budget(tr.shape[0], *window):
+                # Pathological mesh (canvas-spanning triangles): render the
+                # lit colors on device, rasterize with the native host
+                # z-buffer (any triangle size, same blend contract).
+                import warnings
+                from synergynet_tpu import native
+                warnings.warn(
+                    f"lit-render copy grid ry*rx={window[0]}*{window[1]} "
+                    "over budget; falling back to the native host "
+                    "rasterizer", RuntimeWarning)
+                if not native.native_available():
+                    raise RuntimeError(
+                        "mesh needs a replication grid over "
+                        "REPLICATION_ROW_BUDGET and the native host "
+                        "rasterizer is unavailable; downscale the canvas "
+                        "or split the mesh")
+                vj = jnp.asarray(vertices, jnp.float32)
+                tj = jnp.asarray(triangles, jnp.int32)
+                normal = get_normal(vj, tj)
+                light = compute_vertex_light(vj, normal, **self.cfg)
+                colors = light if texture is None else \
+                    jnp.asarray(texture, jnp.float32) * light
+                img, _ = native.rasterize_cpu(
+                    np.asarray(vj), tr.astype(np.int32),
+                    np.asarray(colors), np.asarray(bg, np.uint8), alpha=1.0)
+                return img
         nver = int(np.asarray(vertices).shape[0])
         rings = one_ring_table(np.asarray(triangles), nver) if tiled else None
         fn = self._program(h, w, tuple(window), texture is not None, tiled)

@@ -109,18 +109,37 @@ def render_texture(vertices, triangles, tex_coords, texture, bg,
     """
     bg = np.asarray(bg, np.uint8)
     h, w = bg.shape[:2]
-    use_tiled = jax.default_backend() == "tpu"
+    # An explicitly passed window is a request for the window path — honor
+    # it on every backend rather than silently taking the tiled kernel.
+    use_tiled = jax.default_backend() == "tpu" and window is None
     if use_tiled:
         from synergynet_tpu.render.raster_tiled import (
             replication_for, within_replication_budget)
         ry, rx = replication_for(vertices, triangles)
         if not within_replication_budget(
                 np.asarray(triangles).shape[0], ry, rx):
+            # The window path is NOT a safe fallback here: window_for caps
+            # at 32 px, which would silently crop exactly the triangles
+            # that blew the budget. The native scalar renderer covers any
+            # triangle size.
             import warnings
+            from synergynet_tpu import native
             warnings.warn(
                 f"tiled texture copy grid ry*rx={ry}*{rx} over budget; "
-                "falling back to the window path", RuntimeWarning)
-            use_tiled = False
+                "falling back to the native host texture renderer",
+                RuntimeWarning)
+            if not native.native_available():
+                raise RuntimeError(
+                    "mesh needs a replication grid over "
+                    "REPLICATION_ROW_BUDGET and the native host renderer "
+                    "is unavailable; downscale the canvas or split the "
+                    "mesh")
+            img, _ = native.render_texture_cpu(
+                np.asarray(vertices, np.float32),
+                np.asarray(triangles, np.int32),
+                np.asarray(tex_coords, np.float32), texture, bg,
+                alpha=float(alpha), reverse=reverse, bilinear=bilinear)
+            return img
     if use_tiled:
         zbuf, color = rasterize_texture_buffers_tiled(
             jnp.asarray(vertices, jnp.float32),

@@ -118,30 +118,30 @@ def fit_resident(trainer, images: np.ndarray, params62: np.ndarray,
     cfg = trainer.cfg
     t = cfg.train
     epochs = epochs if epochs is not None else t.epochs
-    augment = None
-    if cfg.data.device_augment:
-        from functools import partial
-        from synergynet_tpu.data.device_augment import device_augment
-        dd = cfg.data
-        augment = partial(device_augment, jitter=tuple(dd.jitter),
-                          border=dd.border, occlusion_prob=dd.occlusion_prob)
     epoch_fn = make_epoch_program(trainer.model, trainer.pack,
                                   trainer.optimizer, trainer.mesh,
-                                  t.batch_size, augment=augment)
+                                  t.batch_size, augment=trainer.augment)
     g_imgs, g_tgts, hwc = shard_resident_arrays(trainer.mesh, images,
                                                 params62)
     key = jax.random.PRNGKey(t.seed)
     history: Dict[int, dict] = {}
-    for epoch in range(trainer.start_epoch, epochs + 1):
-        trainer.state, metrics = epoch_fn(
-            trainer.state, g_imgs, g_tgts, jax.random.fold_in(key, epoch),
-            hwc)
-        host = {k: float(v) for k, v in metrics.items()}
-        history[epoch] = host
-        if log_fn:
-            log_fn(epoch, host)
-        if epoch % t.save_val_freq == 0 or epoch == epochs:
-            trainer.save(epoch)
-            if trainer.eval_hook:
-                history[epoch]["eval"] = trainer.eval_hook(trainer)
+    if t.test_initial and trainer.eval_hook:
+        trainer.eval_hook(trainer)
+    epoch = trainer.start_epoch
+    try:
+        for epoch in range(trainer.start_epoch, epochs + 1):
+            trainer.state, metrics = epoch_fn(
+                trainer.state, g_imgs, g_tgts,
+                jax.random.fold_in(key, epoch), hwc)
+            host = {k: float(v) for k, v in metrics.items()}
+            history[epoch] = host
+            if log_fn:
+                log_fn(epoch, host)
+            if epoch % t.save_val_freq == 0 or epoch == epochs:
+                trainer.save(epoch)
+                if trainer.eval_hook:
+                    history[epoch]["eval"] = trainer.eval_hook(trainer)
+    except Exception:
+        trainer.emergency_save(epoch - 1)
+        raise
     return history

@@ -66,6 +66,19 @@ def build_dataset(cfg: Config):
     return ArrayDataset(syn["images"], syn["params"], transform=transform)
 
 
+def build_augment(cfg: Config):
+    """The fused device-side augmentation callable for a config (or None)
+    — single construction point for both the host-loop and
+    device-resident training paths."""
+    if not cfg.data.device_augment:
+        return None
+    from functools import partial
+    from synergynet_tpu.data.device_augment import device_augment
+    d = cfg.data
+    return partial(device_augment, jitter=tuple(d.jitter), border=d.border,
+                   occlusion_prob=d.occlusion_prob)
+
+
 class Trainer:
     def __init__(self, cfg: Optional[Config] = None,
                  eval_hook: Optional[Callable] = None,
@@ -89,16 +102,9 @@ class Trainer:
             weight_decay=t.weight_decay)
         self.state = create_train_state(
             self.model, jax.random.PRNGKey(t.seed), self.optimizer)
-        augment = None
-        if self.cfg.data.device_augment:
-            from functools import partial
-            from synergynet_tpu.data.device_augment import device_augment
-            d = self.cfg.data
-            augment = partial(device_augment, jitter=tuple(d.jitter),
-                              border=d.border,
-                              occlusion_prob=d.occlusion_prob)
+        self.augment = build_augment(self.cfg)
         self.step_fn = jit_train_step(self.model, self.pack, self.optimizer,
-                                      self.mesh, augment=augment)
+                                      self.mesh, augment=self.augment)
         self.state = meshlib.replicate(self.mesh, self.state)
         self.eval_hook = eval_hook
         self.start_epoch = 1
@@ -118,6 +124,22 @@ class Trainer:
                                   "arch": self.cfg.model.arch})
         log.info("Save checkpoint to %s", path)
         return path
+
+    def emergency_save(self, last_epoch: int) -> None:
+        """Failure containment: persist the live state so a crashed run can
+        resume (the reference loses everything since the last periodic
+        torch.save). Used by both fit() and fit_resident()."""
+        path = os.path.join(self.cfg.train.snapshot_dir,
+                            "synergynet_emergency.npz")
+        try:
+            save_checkpoint(path, jax.device_get(self.state),
+                            step=int(self.state.step),
+                            metadata={"epoch": last_epoch,
+                                      "emergency": True,
+                                      "arch": self.cfg.model.arch})
+            log.error("training failed; emergency checkpoint at %s", path)
+        except Exception:
+            log.exception("emergency checkpoint failed")
 
     def resume(self, path: str) -> None:
         template = jax.device_get(self.state)
@@ -139,6 +161,9 @@ class Trainer:
         # float() is a device sync, which on a remote-TPU link serializes
         # every step on the round-trip. Keeping up to print_freq metric
         # pytrees on device lets XLA pipeline the steps back to back.
+        # state.step increments once per batch (even NaN-skipped ones), so
+        # the global step of batch i is start_step + i + 1.
+        start_step = int(jax.device_get(self.state.step))
         pending = []
 
         def flush():
@@ -156,7 +181,7 @@ class Trainer:
                 self.mesh, (images, params.astype(np.float32)))
             self.state, metrics = self.step_fn(self.state, batch[0],
                                                batch[1], rng)
-            pending.append((metrics, images.shape[0], i))
+            pending.append((metrics, images.shape[0], start_step + i + 1))
             batch_time.update(time.time() - end)
             end = time.time()
             if i % t.print_freq == 0:
@@ -187,19 +212,7 @@ class Trainer:
                         log.info("Val[%d]", epoch)
                         history[epoch]["eval"] = self.eval_hook(self)
         except Exception:
-            # Failure containment: persist the live state so the run can
-            # resume (the reference loses everything since the last
-            # periodic torch.save).
-            path = os.path.join(t.snapshot_dir, "synergynet_emergency.npz")
-            try:
-                save_checkpoint(path, jax.device_get(self.state),
-                                step=int(self.state.step),
-                                metadata={"epoch": epoch - 1,
-                                          "emergency": True,
-                                          "arch": self.cfg.model.arch})
-                log.error("training failed; emergency checkpoint at %s", path)
-            except Exception:
-                log.exception("emergency checkpoint failed")
+            self.emergency_save(epoch - 1)
             raise
         return history
 

@@ -77,3 +77,31 @@ class TestNativeNMS:
         dets = np.concatenate(
             [xy, xy + wh, rng.uniform(0, 1, (n, 1))], 1).astype(np.float32)
         assert nms_cpu(dets, 0.3) == nms_indices(dets, 0.3)
+
+
+class TestNativeTexture:
+    def test_matches_window_texture_path(self):
+        import jax.numpy as jnp
+        from synergynet_tpu import native
+        from synergynet_tpu.render.raster import blend_uint8
+        from synergynet_tpu.render.texture import rasterize_texture_buffers
+        if not native.native_available():
+            native.build_native()
+        rng = np.random.default_rng(11)
+        nver, ntri = 40, 60
+        verts = np.stack([rng.uniform(1, 28, nver), rng.uniform(1, 28, nver),
+                          rng.uniform(-5, 5, nver)], 1).astype(np.float32)
+        tris = rng.integers(0, nver, (ntri, 3)).astype(np.int32)
+        uv = rng.uniform(0, 1, (nver, 2)).astype(np.float32)
+        texture = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+        bg = rng.integers(0, 255, (32, 32, 3), np.uint8)
+        for bilinear in (True, False):
+            got, _ = native.render_texture_cpu(verts, tris, uv, texture, bg,
+                                               bilinear=bilinear)
+            zbuf, color = rasterize_texture_buffers(
+                jnp.asarray(verts), jnp.asarray(tris), jnp.asarray(uv),
+                jnp.asarray(texture), h=32, w=32, win_h=32, win_w=32,
+                bilinear=bilinear)
+            want = np.asarray(blend_uint8(jnp.asarray(bg), zbuf, color, 1.0))
+            close = (np.abs(got.astype(int) - want.astype(int)) <= 1).all(-1)
+            assert close.mean() > 0.99, f"bilinear={bilinear}"

@@ -253,10 +253,13 @@ class TestReplicationBudget:
         diff = np.abs(got.astype(int) - want.astype(int))
         assert (diff > 1).mean() < 0.003
 
-    def test_render_texture_falls_back_to_window_path(self, monkeypatch):
+    def test_render_texture_falls_back_to_native(self, monkeypatch):
         import jax
+        from synergynet_tpu import native
         from synergynet_tpu.render import raster_tiled
         from synergynet_tpu.render.texture import render_texture
+        if not native.native_available():
+            native.build_native()
         rng = np.random.default_rng(8)
         verts, tris, _ = random_mesh(rng)
         tex_coords = rng.uniform(0, 1, (40, 2)).astype(np.float32)
@@ -264,10 +267,49 @@ class TestReplicationBudget:
         bg = rng.integers(0, 255, (32, 32, 3), np.uint8)
         want = render_texture(verts, tris, tex_coords, texture, bg)
         # Pretend we are on TPU with a tiny budget: the tiled branch must
-        # warn and route to the window path (identical output), never
-        # reaching the (un-lowerable-on-CPU) Pallas program.
+        # warn and route to the NATIVE renderer (the window path's 32-px
+        # cap would silently crop the triangles that blew the budget),
+        # never reaching the (un-lowerable-on-CPU) Pallas program.
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         monkeypatch.setattr(raster_tiled, "REPLICATION_ROW_BUDGET", 10)
         with pytest.warns(RuntimeWarning, match="over budget"):
             got = render_texture(verts, tris, tex_coords, texture, bg)
+        # Same math, different float regrouping: knife-edge pixels may
+        # differ; everything else matches to 1 uint8 step.
+        close = (np.abs(got.astype(int) - want.astype(int)) <= 1).all(-1)
+        assert close.mean() > 0.99
+
+    def test_render_texture_honors_explicit_window(self, monkeypatch):
+        import jax
+        from synergynet_tpu.render.texture import render_texture
+        rng = np.random.default_rng(9)
+        verts, tris, _ = random_mesh(rng)
+        tex_coords = rng.uniform(0, 1, (40, 2)).astype(np.float32)
+        texture = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+        bg = rng.integers(0, 255, (32, 32, 3), np.uint8)
+        want = render_texture(verts, tris, tex_coords, texture, bg,
+                              window=(32, 32))
+        # An explicit window must select the window path even on "tpu"
+        # (previously it was silently discarded for the tiled kernel).
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        got = render_texture(verts, tris, tex_coords, texture, bg,
+                             window=(32, 32))
         np.testing.assert_array_equal(got, want)
+
+    def test_lit_pipeline_falls_back_to_native(self, monkeypatch):
+        import jax
+        from synergynet_tpu import native
+        from synergynet_tpu.render import raster_tiled
+        from synergynet_tpu.render.lighting import RenderPipeline
+        if not native.native_available():
+            native.build_native()
+        rng = np.random.default_rng(10)
+        verts, tris, _ = random_mesh(rng)
+        bg = rng.integers(0, 255, (32, 32, 3), np.uint8)
+        pipe = RenderPipeline()
+        want = pipe(verts, tris, bg, tiled=False)
+        monkeypatch.setattr(raster_tiled, "REPLICATION_ROW_BUDGET", 10)
+        with pytest.warns(RuntimeWarning, match="over budget"):
+            got = pipe(verts, tris, bg, tiled=True)
+        close = (np.abs(got.astype(int) - want.astype(int)) <= 1).all(-1)
+        assert close.mean() > 0.99
