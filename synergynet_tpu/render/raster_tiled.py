@@ -49,8 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 from synergynet_tpu.render.raster import DEPTH_INIT
 
 TH, TW = 8, 128          # pixel bin = one f32 VPU tile
-CHUNK = 256              # records per grid step
-G = 8                    # triangles evaluated per inner iteration
+CHUNK = 512              # records per grid step (on-chip sweep: 512/16
+G = 16                   # records/sub-batch run ~1.6x over 256/8)
 REC_W = 32               # record row width (sublane-aligned)
 _NEVER = -3.4e38         # depth of non-covered / padding fragments
 
