@@ -40,6 +40,17 @@ def main():
     ap.add_argument("--out", default="docs/FULL_RECIPE_RUN.json")
     args = ap.parse_args()
 
+    import jax
+    # Expose the host CPU backend alongside the TPU so bulk data prep
+    # (GeneratedCropDataset's landmark decode) runs locally instead of
+    # paying tunnel compiles. Must happen before backend initialization.
+    try:
+        cur = jax.config.jax_platforms
+        if cur and "cpu" not in cur:
+            jax.config.update("jax_platforms", cur + ",cpu")
+    except Exception:
+        pass
+
     from synergynet_tpu.core import Config, enable_compile_cache
     from synergynet_tpu.train import Trainer, make_synthetic_eval_hook
     enable_compile_cache()

@@ -117,6 +117,9 @@ class GeneratedCropDataset:
     def __init__(self, n: int, pack: Optional[ParamPack] = None,
                  seed: int = 0, size: int = 120, transform=None,
                  decode_chunk: int = 65536):
+        import contextlib
+
+        import jax
         import jax.numpy as jnp
         from synergynet_tpu.mm3d import decode_landmarks
 
@@ -125,10 +128,20 @@ class GeneratedCropDataset:
         self.params = sample_params(rng, n)
         n_lmk = len(pack.keypoints) // 3
         lmk = np.empty((n, 3, n_lmk), np.float32)
-        for s in range(0, n, decode_chunk):
-            e = min(s + decode_chunk, n)
-            lmk[s:e] = np.asarray(
-                decode_landmarks(jnp.asarray(self.params[s:e]), pack))
+        # Bulk GT decode is host data prep — pin it to the CPU backend when
+        # one exists (over the remote-TPU tunnel each fresh chunk shape
+        # costs minutes of compile; the 131K-crop recipe's setup was ~13
+        # min of mostly this). Single-platform TPU jobs fall through to
+        # the default device.
+        try:
+            ctx = jax.default_device(jax.devices("cpu")[0])
+        except Exception:
+            ctx = contextlib.nullcontext()
+        with ctx:
+            for s in range(0, n, decode_chunk):
+                e = min(s + decode_chunk, n)
+                lmk[s:e] = np.asarray(
+                    decode_landmarks(jnp.asarray(self.params[s:e]), pack))
         self.lmk = lmk
         self.seed = seed
         self.size = size
