@@ -13,7 +13,7 @@ from synergynet_tpu.detect.detector import (  # noqa: F401
 from synergynet_tpu.detect.torch_import import (  # noqa: F401
     load_faceboxes_variables, convert_torch_state_dict,
 )
-from synergynet_tpu.detect.nms import soft_nms  # noqa: F401
+from synergynet_tpu.detect.nms import soft_nms, soft_nms_device  # noqa: F401
 from synergynet_tpu.detect.train_utils import (  # noqa: F401
     jaccard, encode, match, multibox_loss, center_to_corner,
 )

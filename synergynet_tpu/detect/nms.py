@@ -84,6 +84,63 @@ def nms_indices(dets, iou_threshold: float = 0.3):
     return [int(i) for i in order[keep]]
 
 
+@partial(jax.jit, static_argnames=("sigma", "iou_threshold",
+                                   "score_threshold", "method"))
+def soft_nms_device(boxes: jnp.ndarray, scores: jnp.ndarray,
+                    valid: jnp.ndarray, sigma: float = 0.5,
+                    iou_threshold: float = 0.3,
+                    score_threshold: float = 0.001,
+                    method: str = "gaussian"):
+    """Device-side soft-NMS over a fixed candidate budget.
+
+    The sequential pick-max/decay recurrence of the reference's
+    ``cpu_soft_nms`` (FaceBoxes/utils/nms/cpu_nms.pyx:70-163) is inherently
+    serial in its pick order, but each round's score decay is a dense
+    vector op — so the jit formulation precomputes the (K, K) IoU matrix
+    once (MXU) and runs a ``fori_loop`` of K cheap VPU rounds: argmax pick,
+    gather the pick's IoU row, decay, threshold-discard. Static shapes
+    throughout; padding is marked invalid and never picked.
+
+    Returns ``(pick_idx (K,), pick_score (K,), n_picked)``: the first
+    ``n_picked`` entries are kept candidate indices in pick order with
+    their (decayed) scores — the same contract as the host :func:`soft_nms`
+    expressed over original indices.
+    """
+    k = scores.shape[0]
+    neg = jnp.float32(-jnp.inf)
+    iou = pairwise_iou(boxes)
+    live = jnp.where(valid, scores.astype(jnp.float32), neg)
+
+    def body(i, state):
+        live, idx, out = state
+        j = jnp.argmax(live)
+        s = live[j]
+        row = iou[j]
+        if method == "linear":
+            decay = jnp.where(row > iou_threshold, 1.0 - row, 1.0)
+        elif method == "gaussian":
+            decay = jnp.exp(-(row * row) / sigma)
+        else:                                   # hard: ov > Nt -> 0
+            decay = jnp.where(row > iou_threshold, 0.0, 1.0)
+        # guard dead entries: -inf * 0 would poison the argmax with NaN
+        new = jnp.where(live > neg, live * decay, neg)
+        # the reference's threshold discard runs only inside its
+        # positive-overlap branch (cpu_nms.pyx:128-158): a box that merely
+        # *starts* below threshold survives until it overlaps a pick
+        new = jnp.where((row > 0.0) & (new < score_threshold), neg, new)
+        new = new.at[j].set(neg)
+        picked = s > neg
+        live = jnp.where(picked, new, live)
+        idx = idx.at[i].set(jnp.where(picked, j, -1))
+        out = out.at[i].set(s)
+        return live, idx, out
+
+    _, idx, out = jax.lax.fori_loop(
+        0, k, body,
+        (live, jnp.full((k,), -1, jnp.int32), jnp.full((k,), neg)))
+    return idx, out, jnp.sum(out > neg)
+
+
 def soft_nms(dets, sigma: float = 0.5, iou_threshold: float = 0.3,
              score_threshold: float = 0.001, method: str = "gaussian"):
     """Soft-NMS (Bodla et al. 2017) — capability parity with the reference's
@@ -126,6 +183,8 @@ def soft_nms(dets, sigma: float = 0.5, iou_threshold: float = 0.3,
         # No-overlap boxes are untouched in the reference (the decay only
         # applies inside the iw/ih > 0 branch, cpu_nms.pyx:126-148) — decay
         # is 1.0 at iou == 0 for every method, so a plain multiply matches.
+        # The threshold discard lives inside that same branch, so it only
+        # fires for boxes overlapping this round's pick (cpu_nms.pyx:151).
         dets[:, 4] *= decay.astype(np.float32)
-        dets = dets[dets[:, 4] >= score_threshold]
+        dets = dets[~((iou > 0) & (dets[:, 4] < score_threshold))]
     return np.asarray(out, np.float32).reshape(-1, 5)

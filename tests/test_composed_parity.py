@@ -148,6 +148,67 @@ RECTS = [[70.0, 60.0, 180.0, 200.0, 0.97],
          [-12.0, 4.0, 100.0, 110.0, 0.81]]   # 2nd crop goes out of bounds
 
 
+@pytest.fixture()
+def ref_benchmark(ref_env, tmp_path, monkeypatch):
+    """The reference benchmark.py module executed against a fabricated
+    aflw2000_data/eval layout in a temp cwd (its GT paths are relative,
+    benchmark.py:187-189 and benchmark_aflw2000.py:13-19). Yields
+    (benchmark_mod, yaws, gt_pose_kept, skip_indices)."""
+    rng = np.random.default_rng(21)
+    n = 48
+    yaws = np.concatenate([np.linspace(-120, 120, n - 4),
+                           [-100.5, 99.5, 101.0, -99.0]]).astype(np.float32)
+    skip = np.nonzero(np.abs(yaws) > 99.0)[0]
+    gt_all = rng.uniform(-60, 60, (n, 3)).astype(np.float64)  # pitch-yaw-roll
+    gt_kept = gt_all[np.setdiff1d(np.arange(n), skip)]
+
+    d = tmp_path / "aflw2000_data" / "eval"
+    d.mkdir(parents=True)
+    np.save(d / "AFLW2000-3D.pose.npy", yaws)
+    np.save(d / "AFLW2000-3D.pts68.npy",
+            rng.uniform(0, 120, (n, 2, 68)).astype(np.float32))
+    np.save(d / "AFLW2000-3D-Reannotated.pts68.npy",
+            rng.uniform(0, 120, (n, 2, 68)).astype(np.float32))
+    np.save(d / "AFLW2000-3D_crop.roi_box.npy",
+            np.tile([20.0, 20.0, 140.0, 140.0], (n, 1)).astype(np.float32))
+    np.save(d / "ALFW2000-3D_pose_3ANG_excl.npy", gt_kept)
+    np.save(d / "ALFW2000-3D_pose_3ANG_skip.npy", skip)
+    monkeypatch.chdir(tmp_path)
+
+    mod = _load_by_path("_ref_benchmark", "benchmark.py")
+    try:
+        yield mod, yaws, gt_kept, skip
+    finally:
+        for k in ("_ref_benchmark", "benchmark_aflw2000", "model_building"):
+            sys.modules.pop(k, None)
+
+
+@needs_reference_code
+class TestFOEGoldenParity:
+    def test_benchmark_foe_executed_reference(self, ref_benchmark, pack):
+        """Execute the reference's benchmark_FOE (benchmark.py:183-216) —
+        skip rule, yaw/pitch angle swap, MAE math, report string — and
+        reproduce its exact output with evals.foe on the same params."""
+        import jax.numpy as jnp
+        from synergynet_tpu.evals import foe_mae, format_foe_report
+        from synergynet_tpu.evals.foe import derive_skip_indices
+        from synergynet_tpu.mm3d import pose_from_param
+
+        mod, yaws, gt_kept, skip = ref_benchmark
+        rng = np.random.default_rng(22)
+        params = rng.normal(0, 0.6, (len(yaws), 62)).astype(np.float32)
+
+        want_msg = mod.benchmark_FOE(params)
+
+        # the |yaw|>99 rule re-derives the shipped skip file exactly
+        np.testing.assert_array_equal(derive_skip_indices(yaws), skip)
+
+        angles, _ = pose_from_param(jnp.asarray(params), pack)
+        got = foe_mae(np.asarray(angles), gt_kept,
+                      skip_indices=derive_skip_indices(yaws))
+        assert format_foe_report(got) == want_msg
+
+
 @needs_reference_code
 class TestComposedGoldenParity:
     def test_get_all_outputs_packaged_chain(self, ref_env, pack):

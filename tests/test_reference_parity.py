@@ -468,6 +468,156 @@ class TestNMEGoldenParity:
             assert a == b, (a, b)
 
 
+def _load_pyx_as_python(path):
+    """Execute the reference's Cython source as plain Python.
+
+    Cython itself is not installed in this image, so the compiled original
+    cannot be built; instead of hand-simulating the algorithm we run the
+    reference's *own source* (FaceBoxes/utils/nms/cpu_nms.pyx) through a
+    mechanical cdef-stripping pass:
+
+    - drop ``cimport`` lines and ``cdef inline`` helper functions (their
+      ``max``/``min`` are exactly the Python builtins on floats),
+    - ``cdef <type> name = expr`` -> ``name = expr``; declaration-only
+      ``cdef`` lines are dropped,
+    - typed ``def`` parameters lose their type prefix.
+
+    The numeric semantics survive: the arrays stay float32 and NumPy scalar
+    ops preserve float32, matching the C float arithmetic to rounding.
+    """
+    import re
+
+    with open(path) as f:
+        src = f.read()
+    src = src.replace("\\\n", " ")          # join continuation lines
+    out = []
+    skip_inline = False
+    for line in src.splitlines():
+        stripped = line.strip()
+        if skip_inline:
+            if stripped and not line[0].isspace():
+                skip_inline = False
+            else:
+                continue
+        if stripped.startswith("cimport"):
+            continue
+        if re.match(r"\s*cdef\s+inline\b", line):
+            skip_inline = True
+            continue
+        m = re.match(r"(\s*)cdef\s+(.*)$", line)
+        if m:
+            indent, rest = m.groups()
+            rest = re.sub(r"^(?:np\.ndarray\[[^\]]*\]|unsigned\s+int|int|"
+                          r"float|np\.float32_t|np\.float)\s+", "", rest)
+            if "=" in rest:
+                out.append(indent + rest)
+            continue
+        dm = re.match(r"(\s*def\s+\w+\()(.*)(\):\s*)$", line)
+        if dm:
+            head, args, tail = dm.groups()
+            parts, depth, cur = [], 0, ""
+            for ch in args:
+                if ch == "," and depth == 0:
+                    parts.append(cur)
+                    cur = ""
+                else:
+                    depth += ch in "([{"
+                    depth -= ch in ")]}"
+                    cur += ch
+            if cur.strip():
+                parts.append(cur)
+            clean = [re.sub(r"^\s*(?:np\.ndarray\[[^\]]*\]|unsigned\s+int|"
+                            r"int|float|np\.float32_t|np\.float)\s+", "",
+                            p.strip()) for p in parts]
+            out.append(head + ", ".join(clean) + tail)
+            continue
+        out.append(line)
+    ns = {"np": np}
+    exec(compile("\n".join(out), path, "exec"), ns)
+    return ns
+
+
+needs_reference_pyx = pytest.mark.skipif(
+    not os.path.exists(os.path.join(
+        REF, "FaceBoxes", "utils", "nms", "cpu_nms.pyx")),
+    reason="reference checkout not mounted")
+
+
+@needs_reference_pyx
+class TestNMSPyxGoldenParity:
+    """Bit-level parity against the reference's executed cpu_nms.pyx source
+    (round-2 VERDICT item 5b; previously soft-NMS was only checked against a
+    hand-written simulation)."""
+
+    @pytest.fixture(scope="class")
+    def pyx(self):
+        return _load_pyx_as_python(os.path.join(
+            REF, "FaceBoxes", "utils", "nms", "cpu_nms.pyx"))
+
+    @staticmethod
+    def _dets(seed, n=200, crowd=30.0, low=0.05):
+        # low < threshold exercises the reference's overlap-gated discard:
+        # a box that *starts* below threshold survives until it overlaps a
+        # pick (cpu_nms.pyx:128-158).
+        rng = np.random.default_rng(seed)
+        xy = rng.uniform(0, 200, (n, 2)).astype(np.float32)
+        wh = rng.uniform(5, crowd, (n, 2)).astype(np.float32)
+        scores = rng.uniform(low, 1.0, (n, 1)).astype(np.float32)
+        return np.concatenate([xy, xy + wh, scores], 1).astype(np.float32)
+
+    def test_cpu_nms_bit_parity(self, pyx):
+        from synergynet_tpu.detect.nms import nms_indices
+        for seed in range(4):
+            dets = self._dets(seed)
+            want = pyx["cpu_nms"](dets.copy(), 0.3)
+            got = nms_indices(dets, 0.3)
+            assert list(got) == list(want), seed
+
+    @pytest.mark.parametrize("method,name", [(0, "hard"), (1, "linear"),
+                                             (2, "gaussian")])
+    def test_cpu_soft_nms_parity(self, pyx, method, name):
+        from synergynet_tpu.detect import soft_nms
+        for seed in range(3):
+            dets = self._dets(10 + seed, n=120, low=0.003)
+            boxes = dets.copy()
+            keep = pyx["cpu_soft_nms"](boxes, 0.5, 0.3, 0.01, method)
+            want = boxes[np.asarray(keep, int)]    # mutated in place; kept
+            got = soft_nms(dets, sigma=0.5,        # rows are in pick order
+                           iou_threshold=0.3, score_threshold=0.01,
+                           method=name)
+            assert got.shape == want.shape, (name, seed)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"{name} seed {seed}")
+
+    @pytest.mark.parametrize("method,name", [(0, "hard"), (1, "linear"),
+                                             (2, "gaussian")])
+    def test_soft_nms_device_parity(self, pyx, method, name):
+        """The jit device formulation (fori_loop over a precomputed IoU
+        matrix, padded budget) against the executed reference pyx source."""
+        import jax.numpy as jnp
+        from synergynet_tpu.detect import soft_nms_device
+
+        dets = self._dets(31, n=100, low=0.003)
+        pad = 28
+        boxes = np.concatenate([dets[:, :4],
+                                np.zeros((pad, 4), np.float32)])
+        scores = np.concatenate([dets[:, 4], np.zeros(pad, np.float32)])
+        valid = np.arange(len(scores)) < len(dets)
+
+        ref = dets.copy()
+        keep = pyx["cpu_soft_nms"](ref, 0.5, 0.3, 0.01, method)
+        want = ref[np.asarray(keep, int)]
+
+        idx, out, n = soft_nms_device(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+            sigma=0.5, iou_threshold=0.3, score_threshold=0.01, method=name)
+        n = int(n)
+        assert n == len(want)
+        got = np.concatenate([np.asarray(boxes)[np.asarray(idx)[:n]],
+                              np.asarray(out)[:n, None]], 1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 @needs_reference_code
 class TestBackboneGoldenParity:
     """Golden parity for the remaining backbone families (VERDICT round-1
@@ -583,6 +733,75 @@ class TestBackboneGoldenParity:
         got, feat, unconsumed = self._import_and_apply(net_t, "resnest50", x)
         assert all("fc_tex" in k for k in unconsumed), unconsumed
         # GlobalAvgPool2d already flattens to (B, C) (resnet.py:25-27).
+        np.testing.assert_allclose(feat, pool_t.numpy().reshape(feat.shape),
+                                   rtol=1e-3, atol=5e-4)
+        np.testing.assert_allclose(got, want62.numpy(),
+                                   rtol=1e-3, atol=5e-4)
+
+    @pytest.mark.parametrize("factory,seed", [
+        ("resnet18", 20),          # BasicBlock depths
+        ("resnet101", 21),         # deep Bottleneck stack
+        ("wide_resnet50_2", 22),   # width_per_group=128
+    ])
+    def test_resnet_variant(self, factory, seed):
+        """Depth/width tail of the resnet family (reference
+        resnet_backbone.py:139-254) — round-2 VERDICT item 5c."""
+        import torch
+        mod = _load_reference_module(
+            "backbone_nets/resnet_backbone.py", f"_ref_resnet_{factory}")
+        torch.manual_seed(seed)
+        net_t = getattr(mod, factory)()
+        net_t.eval()
+        x = self._x(seed)
+        with torch.no_grad():
+            want102 = net_t(torch.from_numpy(x)).numpy()
+        got, _, unconsumed = self._import_and_apply(net_t, factory, x)
+        assert all("fc_tex" in k for k in unconsumed), unconsumed
+        np.testing.assert_allclose(got, want102[:, :62],
+                                   rtol=1e-3, atol=5e-4)
+
+    @pytest.mark.parametrize("widen,seed", [(0.5, 23), (2.0, 26)])
+    def test_mobilenet_v1_widen(self, widen, seed):
+        """Non-unit widen factors (reference mobilenetv1_backbone.py:
+        215-252 factories mobilenet_05/mobilenet_2)."""
+        import torch
+        mod = _load_reference_module(
+            "backbone_nets/mobilenetv1_backbone.py", f"_ref_mbv1_{widen}")
+        torch.manual_seed(seed)
+        net_t = mod.MobileNet(widen_factor=widen)
+        net_t.eval()
+        x = self._x(seed)
+        with torch.no_grad():
+            want102 = net_t(torch.from_numpy(x)).numpy()
+        got, _, unconsumed = self._import_and_apply(
+            net_t, f"mobilenet_1_{widen}", x)
+        assert all("fc_tex" in k for k in unconsumed), unconsumed
+        np.testing.assert_allclose(got, want102[:, :62],
+                                   rtol=1e-3, atol=2e-4)
+
+    @pytest.mark.parametrize("name,seed", [
+        ("resnest101", 24),               # deep split-attention stack
+        ("resnest50_fast_4s1x64d", 25),   # radix-4 ablation
+    ])
+    def test_resnest_variant(self, name, seed):
+        """ResNeSt depth + radix tail (reference ResNeSt/resnest.py:43-51,
+        ablation.py:58-66)."""
+        import torch
+        sys.path.insert(0, REF)
+        try:
+            from backbone_nets.ResNeSt import resnest as _rn
+            from backbone_nets.ResNeSt import ablation as _ab
+        finally:
+            sys.path.remove(REF)
+        factory = getattr(_rn, name, None) or getattr(_ab, name)
+        torch.manual_seed(seed)
+        net_t = factory()
+        net_t.eval()
+        x = self._x(seed)
+        with torch.no_grad():
+            want62, pool_t = net_t(torch.from_numpy(x))
+        got, feat, unconsumed = self._import_and_apply(net_t, name, x)
+        assert all("fc_tex" in k for k in unconsumed), unconsumed
         np.testing.assert_allclose(feat, pool_t.numpy().reshape(feat.shape),
                                    rtol=1e-3, atol=5e-4)
         np.testing.assert_allclose(got, want62.numpy(),
