@@ -53,11 +53,12 @@ def main():
     ch, cw = CANVAS
 
     @jax.jit
-    def bench_loop(variables, det_vars, frame, frame_s2d, true_hw, n_iters):
+    def bench_loop(variables, det_vars, pack, basis_w, basis_u, anchors,
+                   frame, frame_s2d, true_hw, n_iters):
         def body(i, acc):
             c = i.astype(jnp.float32) * 1e-3              # defeat memoization
-            outs = program(variables, det_vars, frame + c, frame_s2d + c,
-                           true_hw)
+            outs = program(variables, det_vars, pack, basis_w, basis_u,
+                           anchors, frame + c, frame_s2d + c, true_hw)
             scores, n_faces, rois, p62, lmk, dense, angles, t3d = outs
             return (acc + jnp.sum(lmk * lmk) * 1e-6
                     + jnp.sum(dense * dense) * 1e-9
@@ -70,7 +71,8 @@ def main():
     frame = jnp.asarray(frame_np)
     frame_s2d = jnp.asarray(np.ascontiguousarray(space_to_depth(frame_np)))
     true_hw = jnp.asarray([ch, cw], jnp.int32)
-    args = (api.variables, detector.variables, frame, frame_s2d, true_hw)
+    args = (api.variables, detector.variables, *engine.pack_args,
+            frame, frame_s2d, true_hw)
 
     float(bench_loop(*args, 2))                           # compile + warmup
 

@@ -41,9 +41,12 @@ def main():
 
     results = {}
     best = (0.0, None)
-    # B=16's program exceeds the remote-compile tunnel's request-size
-    # limit (HTTP 413) in this environment; B=8 is the sweep ceiling.
-    for b in (1, 4, 8):
+    # Round 2's sweep capped at B=8: the program then inlined the 25 MB
+    # 3DMM basis as HLO literals and B=16 blew the remote-compile
+    # request-size limit (HTTP 413). The constants now ride as jit
+    # arguments (pipeline/api.py pack_args), so the program is ~KBs and
+    # the sweep extends until compute stops scaling.
+    for b in (1, 4, 8, 16, 32):
         frames = rng.integers(0, 255, (b, ch, cw, 3)).astype(np.float32)
         s2d = np.stack([np.ascontiguousarray(space_to_depth(f))
                         for f in frames])
@@ -52,30 +55,38 @@ def main():
 
         if b == 1:
             prog = engine._program
-            args = (fj[0], sj[0], hj[0])
+            fargs = (fj[0], sj[0], hj[0])
         else:
             if engine._batch_program is None:
                 from synergynet_tpu.pipeline.api import _fused_batch_program
                 engine._batch_program = _fused_batch_program(engine)
             prog = engine._batch_program
-            args = (fj, sj, hj)
+            fargs = (fj, sj, hj)
 
         @jax.jit
-        def loop(n, prog=prog, args=args):
+        def loop(n, variables, det_vars, pack, bw, bu, anchors, f, s, hwv,
+                 prog=prog):
             def body(i, acc):
                 c = i.astype(jnp.float32) * 1e-3
-                outs = prog(api.variables, detector.variables,
-                            args[0] + c, args[1] + c, args[2])
+                outs = prog(variables, det_vars, pack, bw, bu, anchors,
+                            f + c, s + c, hwv)
                 scores, n_faces, rois, p62, lmk, dense, angles, t3d = outs
                 return (acc + jnp.sum(lmk * lmk) * 1e-6
                         + jnp.sum(dense * dense) * 1e-9 + jnp.sum(angles))
             return lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-        float(loop(2))
+        largs = (api.variables, detector.variables, *engine.pack_args,
+                 *fargs)
+        try:
+            float(loop(2, *largs))
+        except Exception as e:                     # record a real ceiling
+            print(json.dumps({"batch_frames": b,
+                              "error": type(e).__name__}), flush=True)
+            break
 
         def run(n):
             t0 = time.perf_counter()
-            float(loop(n))
+            float(loop(n, *largs))
             return time.perf_counter() - t0
 
         t_small = min(run(N_SMALL) for _ in range(3))

@@ -1,0 +1,277 @@
+"""Stage-split profile of the fused 8-face overlay render on the real chip.
+
+Times each stage of the render_lit_faces pipeline at the full 8-face scale
+(846,720 triangles on the 720x1088 canvas) with the slope method from
+bench.py (on-device fori_loop + per-iteration perturbation + scalar fetch,
+two trip counts), to decide where the face-count-adaptivity work should go
+(round-2 VERDICT weak item 1: flat 161 ms/frame regardless of face count).
+
+Every large array rides as a jit ARGUMENT — closing over the 846K-triangle
+topology (or the 3DMM basis) inlines tens of MB of literals into the HLO,
+which over the remote-compile tunnel costs minutes per program (the reason
+the first version of this script never finished a compile).
+
+Stages:
+  full      render_lit_faces (normals + lighting + binned raster)
+  raster    rasterize_buffers_tiled only (plane setup + prep + kernel)
+  prep      _plane_setup + _prepare only (records, sort, maps, gather)
+  sort      the packed-key lax.sort alone at T*R size
+  kernel    _launch alone on prebuilt maps/records
+  light     normals + Phong lighting for 8 faces
+
+Usage: python -u scripts/prof_overlay_stages.py [--faces 8]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--faces", type=int, default=8)
+    ap.add_argument("--small", type=int, default=3)
+    ap.add_argument("--large", type=int, default=9)
+    ap.add_argument("--stages", default="full,raster,prep,sort,kernel,light")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from synergynet_tpu.core import enable_compile_cache
+    enable_compile_cache()
+    from synergynet_tpu.mm3d import decode_dense, load_param_pack
+    from synergynet_tpu.render import raster_tiled as rt
+    from synergynet_tpu.render.normals import one_ring_table
+    from synergynet_tpu.pipeline.overlay_engine import (DEFAULT_REPLICATION,
+                                                        render_lit_faces)
+
+    pack = load_param_pack()
+    mean_face = np.asarray(
+        decode_dense(jnp.zeros((1, 62), jnp.float32), pack))[0].T
+    tris = np.ascontiguousarray(np.asarray(pack.tri).T).astype(np.int32)
+    f = args.faces
+    nver = mean_face.shape[0]
+    tris_all = (tris[None] + (np.arange(f, dtype=np.int32) * nver
+                              )[:, None, None]).reshape(-1, 3)
+    h, w = 720, 1088
+    ry, rx = DEFAULT_REPLICATION
+    rng = np.random.default_rng(0)
+    offs = rng.uniform([60, 60], [w - 360, h - 360], (f, 2))
+    verts = np.stack([
+        mean_face * 2.5 + np.asarray([ox, oy, 0], np.float32)
+        for ox, oy in offs]).astype(np.float32)          # (F, N, 3)
+    rings = jnp.asarray(one_ring_table(tris, nver))
+    tj_face = jnp.asarray(tris)
+    tj_all = jnp.asarray(tris_all)
+    vj = jnp.asarray(verts)
+    frame = jnp.zeros((h, w, 3), jnp.uint8)
+    interpret = jax.default_backend() != "tpu"
+
+    def slope_ms(loop_fn, *arrays):
+        """loop_fn(n, *arrays) -> scalar; arrays are jit args, not consts."""
+        jloop = jax.jit(loop_fn)
+        t0 = time.perf_counter()
+        float(jloop(2, *arrays))                          # compile + warm
+        print(f"#   compile+warm {time.perf_counter() - t0:.1f}s",
+              flush=True)
+
+        def run(n):
+            t0 = time.perf_counter()
+            float(jloop(n, *arrays))
+            return time.perf_counter() - t0
+
+        t_small = min(run(args.small) for _ in range(3))
+        t_large = min(run(args.large) for _ in range(3))
+        return (t_large - t_small) / (args.large - args.small) * 1000.0
+
+    results = {}
+    want = set(args.stages.split(","))
+
+    if "full" in want:
+        def loop_full(n, frame, vj, tj_face, tj_all, rings):
+            def body(i, acc):
+                ov, _ = render_lit_faces(
+                    frame, vj + i.astype(jnp.float32) * 1e-6,
+                    jnp.ones((f,), bool), tj_face, tj_all, rings,
+                    interpret=interpret)
+                return acc + ov[99, 99, 0].astype(jnp.float32)
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+        results["full"] = round(slope_ms(loop_full, frame, vj, tj_face,
+                                         tj_all, rings), 2)
+        print("# full", results["full"], flush=True)
+
+    flat = vj.reshape(-1, 3)
+    colors = jnp.full((f * nver, 3), 0.5, jnp.float32)
+
+    if "raster" in want:
+        def loop_raster(n, flat, tj_all, colors):
+            def body(i, acc):
+                zb, col = rt.rasterize_buffers_tiled(
+                    flat + i.astype(jnp.float32) * 1e-6, tj_all, colors,
+                    h=h, w=w, ry=ry, rx=rx, interpret=interpret)
+                return acc + zb[99, 99] + col[500, 500, 0]
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+        results["raster"] = round(slope_ms(loop_raster, flat, tj_all,
+                                           colors), 2)
+        print("# raster", results["raster"], flush=True)
+
+    if "prep" in want:
+        def loop_prep(n, flat, tj_all, colors):
+            def body(i, acc):
+                rec = rt._plane_setup(flat + i.astype(jnp.float32) * 1e-6,
+                                      tj_all, [colors[:, 0], colors[:, 1],
+                                               colors[:, 2]])
+                c2b, cc, s0, rs = rt._prepare(rec, flat, tj_all,
+                                              h=h, w=w, ry=ry, rx=rx)
+                return (acc + cc.sum().astype(jnp.float32)
+                        + rs[123, 7] + s0[50].astype(jnp.float32))
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+        results["prep"] = round(slope_ms(loop_prep, flat, tj_all, colors), 2)
+        print("# prep", results["prep"], flush=True)
+
+    if "setup" in want:
+        def loop_setup(n, flat, tj_all, colors):
+            def body(i, acc):
+                rec = rt._plane_setup(flat + i.astype(jnp.float32) * 1e-6,
+                                      tj_all, [colors[:, 0], colors[:, 1],
+                                               colors[:, 2]])
+                return acc + rec[1234, 7] + rec[99, 25]
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+        results["setup"] = round(slope_ms(loop_setup, flat, tj_all,
+                                          colors), 2)
+        print("# setup", results["setup"], flush=True)
+
+    # prep sub-stages on a fixed record array (binpack+sort / starts / maps
+    # / gather) — mirrors _prepare's internals to localize its cost.
+    if {"binsort", "starts", "gather"} & want:
+        rec_fix = jax.jit(rt._plane_setup)(flat, tj_all,
+                                           [colors[:, 0], colors[:, 1],
+                                            colors[:, 2]])
+        t = tj_all.shape[0]
+        nby, nbx = -(-h // rt.TH), -(-w // rt.TW)
+        nbins = nby * nbx
+        tri_bits = max(1, int(t - 1).bit_length())
+
+        def binpack_sort(rec):
+            x_min = jnp.maximum(rec[:, rt._BBOX0].astype(jnp.int32), 0)
+            x_max = jnp.minimum(rec[:, rt._BBOX0 + 1].astype(jnp.int32),
+                                w - 1)
+            y_min = jnp.maximum(rec[:, rt._BBOX0 + 2].astype(jnp.int32), 0)
+            y_max = jnp.minimum(rec[:, rt._BBOX0 + 3].astype(jnp.int32),
+                                h - 1)
+            empty = (x_max < x_min) | (y_max < y_min)
+            by0, bx0 = y_min // rt.TH, x_min // rt.TW
+            cy = jnp.arange(ry, dtype=jnp.int32)[None, :, None]
+            cx = jnp.arange(rx, dtype=jnp.int32)[None, None, :]
+            bys = by0[:, None, None] + cy
+            bxs = bx0[:, None, None] + cx
+            valid = ((bys <= (y_max // rt.TH)[:, None, None])
+                     & (bxs <= (x_max // rt.TW)[:, None, None])
+                     & ~empty[:, None, None])
+            bins = jnp.where(valid, bys * nbx + bxs, nbins).reshape(-1)
+            tri_of_copy = (jnp.arange(t * ry * rx, dtype=jnp.int32)
+                           // jnp.int32(ry * rx))
+            return jax.lax.sort((bins << tri_bits) | tri_of_copy)
+
+        if "binsort" in want:
+            def loop_binsort(n, rec):
+                def body(i, acc):
+                    pk = binpack_sort(rec + i.astype(jnp.float32) * 1e-9)
+                    return acc + pk[12345].astype(jnp.float32)
+                return lax.fori_loop(0, n, body, jnp.float32(0.0))
+            results["binsort"] = round(slope_ms(loop_binsort, rec_fix), 2)
+            print("# binsort", results["binsort"], flush=True)
+
+        packed_fix = jax.jit(binpack_sort)(rec_fix)
+
+        if "starts" in want:
+            queries = jnp.arange(nbins + 1) << tri_bits
+
+            def loop_starts(n, packed, queries):
+                def body(i, acc):
+                    # xor of the low bit defeats loop-invariant hoisting
+                    # without changing the work (cost identical; tiny tie
+                    # inversions are irrelevant for timing)
+                    s = jnp.searchsorted(packed ^ (i & 1), queries,
+                                         method="compare_all")
+                    return acc + s[100].astype(jnp.float32) + \
+                        s[700].astype(jnp.float32) * 1e-3
+                return lax.fori_loop(0, n, body, jnp.float32(0.0))
+            results["starts"] = round(slope_ms(loop_starts, packed_fix,
+                                               queries), 2)
+            print("# starts", results["starts"], flush=True)
+
+        if "gather" in want:
+            order_fix = packed_fix & ((1 << tri_bits) - 1)
+
+            def loop_gather(n, rec, order):
+                def body(i, acc):
+                    rs = jnp.pad(rec[order ^ (i & 1)],   # defeat hoisting
+                                 ((0, rt.CHUNK), (0, 128 - rt.REC_W)))
+                    return acc + rs[123, 7] + rs[9999, 3]
+                return lax.fori_loop(0, n, body, jnp.float32(0.0))
+            results["gather"] = round(slope_ms(loop_gather, rec_fix,
+                                               order_fix), 2)
+            print("# gather", results["gather"], flush=True)
+
+    if "sort" in want:
+        t_r = tris_all.shape[0] * ry * rx
+        keys = jnp.asarray(rng.integers(0, 2**30, t_r, dtype=np.int32))
+
+        def loop_sort(n, keys):
+            def body(i, acc):
+                s = lax.sort(keys ^ i)
+                return acc + s[12345].astype(jnp.float32)
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+        results["sort"] = round(slope_ms(loop_sort, keys), 2)
+        print("# sort", results["sort"], flush=True)
+
+    if "kernel" in want:
+        rec0 = jax.jit(rt._plane_setup)(flat, tj_all,
+                                        [colors[:, 0], colors[:, 1],
+                                         colors[:, 2]])
+        prep = jax.jit(lambda r, fl, tj: rt._prepare(
+            r, fl, tj, h=h, w=w, ry=ry, rx=rx))(rec0, flat, tj_all)
+        c2b, cc, s0, rs = [jnp.asarray(x) for x in prep]
+
+        def loop_kernel(n, c2b, cc, s0, rs):
+            def body(i, acc):
+                zb, pays = rt._launch(c2b, cc, s0,
+                                      rs + i.astype(jnp.float32) * 1e-9,
+                                      h=h, w=w, n_payload=3,
+                                      interpret=interpret)
+                return acc + zb[99, 99] + pays[0, 500, 500]
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+        results["kernel"] = round(slope_ms(loop_kernel, c2b, cc, s0, rs), 2)
+        print("# kernel", results["kernel"], flush=True)
+
+    if "light" in want:
+        from synergynet_tpu.render.lighting import (OVERLAY_LIGHT_CFG,
+                                                    compute_vertex_light)
+        from synergynet_tpu.render.normals import get_normal_rings
+
+        def loop_light(n, vj, tj_face, rings):
+            def body(i, acc):
+                v = vj + i.astype(jnp.float32) * 1e-6
+                nrm = jax.vmap(
+                    lambda vv: get_normal_rings(vv, tj_face, rings))(v)
+                lit = jax.vmap(lambda vv, nn: compute_vertex_light(
+                    vv, nn, **OVERLAY_LIGHT_CFG))(v, nrm)
+                return acc + lit[0, 99, 0] + nrm[-1, 5000, 1]
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+        results["light"] = round(slope_ms(loop_light, vj, tj_face, rings), 2)
+        print("# light", results["light"], flush=True)
+
+    print(json.dumps({"faces": f, "canvas": [h, w],
+                      "replication": [ry, rx], "ms": results}))
+
+
+if __name__ == "__main__":
+    main()

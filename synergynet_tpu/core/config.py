@@ -42,6 +42,11 @@ class TrainConfig:
     seed: int = 0
     num_workers: int = 8                # train_script.sh:16
     test_initial: bool = False          # train_script.sh:24
+    # Per-replica BatchNorm train-parity mode: split the batch into
+    # data-axis groups and compute BN stats per group (the reference's
+    # nn.DataParallel semantics, main_train.py:176); default is sync-BN
+    # over the global batch (strictly more stable).
+    per_replica_bn: bool = False
 
 
 @dataclass

@@ -56,8 +56,18 @@ def vertex_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree: Any) -> Any:
-    """Device-put a host batch with the leading axis sharded over data."""
-    return jax.device_put(tree, batch_sharding(mesh))
+    """Device-put a host batch with the leading axis sharded over data.
+
+    Multi-process jobs hand each process its own local rows (from the
+    process-sharded loader); the global array is assembled across hosts
+    without any data movement beyond the local device transfer.
+    """
+    sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
+    return jax.device_put(tree, sh)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

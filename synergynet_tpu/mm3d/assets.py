@@ -207,6 +207,20 @@ def convert_reference_assets(d: str) -> dict:
     return out
 
 
+def device_pack(pack: ParamPack) -> ParamPack:
+    """A copy of the pack with jax-array (device-resident) leaves.
+
+    ParamPack is a NamedTuple, i.e. a pytree — pass this copy as a jit
+    ARGUMENT. Closing over the numpy pack inside a jitted program inlines
+    the 25 MB dense basis into the HLO as literals (~65 MB of program
+    text), which on a remote-compile link means minutes of upload per
+    program and request-size caps; as an argument the basis is a cheap
+    device-resident parameter shared by every program.
+    """
+    import jax.numpy as jnp
+    return ParamPack(*(jnp.asarray(x) for x in pack))
+
+
 def pack_from_arrays(d: dict) -> ParamPack:
     """Derive the full pack (base sub-bases, u = u_shp + u_exp)."""
     u = (d["u_shp"] + d["u_exp"]).astype(np.float32).reshape(-1, 1)

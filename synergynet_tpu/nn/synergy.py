@@ -79,9 +79,29 @@ class SynergyNet(nn.Module):
 
 def init_synergy_variables(model: SynergyNet, rng: jax.Array,
                            batch: int = 1) -> Dict[str, Any]:
-    """Initialize the complete SynergyNet variable tree."""
+    """Initialize the complete SynergyNet variable tree.
+
+    Init runs on the host CPU backend when one exists: over the
+    remote-TPU tunnel the throwaway init program costs minutes of compile
+    (~200 s measured) for ~3 MB of weights; initializing on CPU and
+    uploading once is ~0.1 s. Single-platform jobs fall through to the
+    default device.
+    """
+    import contextlib
     x = jnp.zeros((batch, 120, 120, 3), jnp.float32)
-    return model.init(rng, x, train=False, method=SynergyNet.init_all)
+    on_cpu = jax.default_backend() != "cpu"
+    try:
+        ctx = (jax.default_device(jax.devices("cpu")[0]) if on_cpu
+               else contextlib.nullcontext())
+    except Exception:
+        on_cpu = False
+        ctx = contextlib.nullcontext()
+    with ctx:
+        variables = model.init(rng, x, train=False,
+                               method=SynergyNet.init_all)
+    if on_cpu:
+        variables = jax.device_put(variables, jax.devices()[0])
+    return variables
 
 
 def synergy_criterion(model: SynergyNet, variables: Dict[str, Any],
@@ -131,11 +151,21 @@ def synergy_criterion(model: SynergyNet, variables: Dict[str, Any],
 
     updates = {}
     if train:
-        # Merge batch-stats updates from the three apply calls (disjoint
-        # module subtrees, so a shallow merge per collection is exact).
-        merged = {}
-        for upd in (upd1, upd2, upd3):
+        # Each apply returns the WHOLE mutable collection — including
+        # stale passed-in copies of modules it did not execute (the three
+        # applies all read from the same input ``variables``). Take each
+        # module's stats from the apply that actually ran it; a naive
+        # shallow merge would let the last apply's stale copies overwrite
+        # the fresh backbone/forward updates (which silently froze the
+        # backbone's BN running stats at init for self-trained runs).
+        merged: Dict[str, Dict] = {}
+        for upd, keys in ((upd1, ("backbone",)),
+                          (upd2, ("forward_direction",)),
+                          (upd3, ("reverse_direction",))):
             for col, tree in upd.items():
-                merged.setdefault(col, {}).update(tree)
+                dst = merged.setdefault(col, {})
+                for k in keys:
+                    if k in tree:
+                        dst[k] = tree[k]
         updates = merged
     return total, losses, updates

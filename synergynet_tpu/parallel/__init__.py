@@ -32,12 +32,46 @@ def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:
     """Join a multi-host SPMD job (``jax.distributed.initialize``); a no-op
-    for single-process runs."""
+    for single-process runs.
+
+    Multi-process CPU jobs (tests, CPU pods) need gloo collectives — the
+    default CPU collectives cannot cross process boundaries — so it is
+    enabled whenever a real multi-process job is requested; TPU backends
+    ignore the CPU-collectives setting.
+    """
     if num_processes in (None, 1):
         return
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
+
+
+def warm_mesh_cliques(mesh) -> None:
+    """Serially create one cross-process collective context per model
+    column of the mesh.
+
+    Creating two cross-process gloo contexts concurrently (e.g. the
+    gradient psum over two model columns of a (data, model) mesh)
+    deadlocks under gVisor's network stack; warming each column clique
+    one at a time pre-populates the backend's per-clique context cache so
+    subsequent multi-column programs find every context ready. No-op for
+    single-process jobs.
+    """
+    if jax.process_count() == 1:
+        return
+    import numpy as np
+    from jax.sharding import Mesh
+
+    nproc = jax.process_count()
+    for col in range(mesh.devices.shape[1]):
+        sub = Mesh(mesh.devices[:, col:col + 1], mesh.axis_names)
+        ones = jax.make_array_from_process_local_data(
+            NamedSharding(sub, P(DATA_AXIS)),
+            np.ones((mesh.devices.shape[0] // nproc,), np.float32))
+        warm = jax.jit(lambda x: x.sum(),
+                       out_shardings=NamedSharding(sub, P()))(ones)
+        assert float(warm) == mesh.devices.shape[0]
 
 
 def tp_dense_decode(mesh, pack: ParamPack) -> Callable:
@@ -102,6 +136,6 @@ def shard_fused_engine(engine, mesh) -> Callable:
         frames_s2d = jax.device_put(frames_s2d, bsh)
         true_hws = jax.device_put(true_hws, bsh)
         return program(engine.api.variables, engine.detector.variables,
-                       frames, frames_s2d, true_hws)
+                       *engine.pack_args, frames, frames_s2d, true_hws)
 
     return run

@@ -4,7 +4,8 @@ from synergynet_tpu.pipeline.api import (  # noqa: F401
     SynergyNet3DMM, preprocess_crops, MAX_FACES_PER_BATCH,
 )
 from synergynet_tpu.pipeline.outputs import (  # noqa: F401
-    write_obj, write_obj_with_colors, UVTextureMapper, load_uv_assets,
+    write_obj, write_obj_with_colors, write_obj_with_colors_texture,
+    UVTextureMapper, load_uv_assets,
 )
 from synergynet_tpu.pipeline.draw import (  # noqa: F401
     draw_landmarks, draw_axis, viz_bbox,

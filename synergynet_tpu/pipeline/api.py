@@ -32,9 +32,11 @@ import numpy as np
 
 from synergynet_tpu.mm3d import (
     ParamPack, load_param_pack, decode_landmarks, pose_from_param,
-    rescale_to_roi,
+    rescale_to_roi, device_pack,
 )
-from synergynet_tpu.ops import decode_dense_fast
+from synergynet_tpu.mm3d.codec import decode_dense
+from synergynet_tpu.ops.fused_decode import (decode_dense_fused,
+                                             get_decode_basis, DecodeBasis)
 from synergynet_tpu.mm3d.crop import square_box, crop_img
 from synergynet_tpu.mm3d.pose import rescale_pose_to_roi
 from synergynet_tpu.nn import SynergyNet, init_synergy_variables
@@ -85,6 +87,21 @@ class SynergyNet3DMM:
                 self.model, jax.random.PRNGKey(seed))
         self.variables = variables
         self._detector = detector
+        # The 3DMM constants ride as jit ARGUMENTS, not closures: closing
+        # over the numpy pack inlines the 25 MB dense basis into every
+        # program as HLO literals (~65 MB of program text — minutes of
+        # upload per compile on a remote-compile link, and request-size
+        # caps at large batch). See mm3d.assets.device_pack.
+        self._use_fused = jax.default_backend() == "tpu"
+        self._pack_dev = device_pack(self.pack)
+        if self._use_fused:
+            b = get_decode_basis(self.pack)
+            self._basis_w, self._basis_u, self._basis_nver = b.w, b.u, b.nver
+        else:   # unused dummy args keep one program signature per backend
+            self._basis_w = jnp.zeros((3, 128, 50), jnp.float32)
+            self._basis_u = jnp.zeros((3, 128), jnp.float32)
+            self._basis_nver = 128
+        self.pack_args = (self._pack_dev, self._basis_w, self._basis_u)
         self._program = self._build_program()
 
     @property
@@ -94,18 +111,29 @@ class SynergyNet3DMM:
             self._detector = FaceBoxes()
         return self._detector
 
+    def _decode_dense_in_program(self, param62, pack, basis_w, basis_u):
+        """Dense decode inside a traced program: Pallas fused kernel on
+        TPU, XLA codec elsewhere — basis arrays are traced arguments."""
+        if self._use_fused:
+            return decode_dense_fused(
+                param62, DecodeBasis(basis_w, basis_u, self._basis_nver),
+                pack)
+        return decode_dense(param62, pack)
+
     def _build_program(self):
-        model, pack = self.model, self.pack
+        model = self.model
+        decode_dense_in = self._decode_dense_in_program
 
         @jax.jit
-        def program(variables, crops_u8, roi_boxes):
+        def program(variables, pack, basis_w, basis_u, crops_u8, roi_boxes):
             """(N,120,120,3) uint8 BGR + (N,4) rois -> all outputs in
             original-image coordinates."""
             x = (crops_u8.astype(jnp.float32) - 127.5) / 128.0
             param62, _ = model.apply(variables, x, train=False)
             param62 = param62.astype(jnp.float32)
             lmk = rescale_to_roi(decode_landmarks(param62, pack), roi_boxes)
-            dense = rescale_to_roi(decode_dense_fast(param62, pack), roi_boxes)
+            dense = rescale_to_roi(
+                decode_dense_in(param62, pack, basis_w, basis_u), roi_boxes)
             angles, t3d = pose_from_param(param62, pack)
             t3d = rescale_pose_to_roi(t3d, roi_boxes)
             return param62, lmk, dense, angles, t3d
@@ -129,8 +157,8 @@ class SynergyNet3DMM:
                 rr = np.concatenate([rr, np.tile([[0, 0, 120, 120]],
                                                  (pad, 1)).astype(np.float32)])
             keep = b - pad
-            res = self._program(self.variables, jnp.asarray(cc),
-                                jnp.asarray(rr))
+            res = self._program(self.variables, *self.pack_args,
+                                jnp.asarray(cc), jnp.asarray(rr))
             out.append([np.asarray(r)[:keep] for r in res])
         return [np.concatenate(parts) for parts in zip(*out)]
 
@@ -173,6 +201,10 @@ class FusedFrameEngine:
         if not self.detector.stem_s2d:
             raise ValueError("FusedFrameEngine requires an s2d detector")
         self.max_faces = max_faces
+        # jit-argument constants: 3DMM pack + dense basis + anchors (see
+        # SynergyNet3DMM — keeping them out of the program shrinks the HLO
+        # from ~65 MB of inlined literals to kilobytes).
+        self.pack_args = (*api.pack_args, self.detector.anchors)
         self._program = self._build()
         self._batch_program = None
 
@@ -183,6 +215,7 @@ class FusedFrameEngine:
             self._batch_program = _fused_batch_program(self)
         return self._batch_program(self.api.variables,
                                    self.detector.variables,
+                                   *self.pack_args,
                                    frames_f32, frames_s2d, true_hws)
 
     def _build(self):
@@ -197,14 +230,16 @@ class FusedFrameEngine:
         f_max = self.max_faces
         ch, cw = CANVAS
         det_mean = jnp.asarray(np.tile(BGR_MEAN, 16), jnp.float32)
-        model, pack = api.model, api.pack
+        model = api.model
+        decode_dense_in = api._decode_dense_in_program
 
         @jax.jit
-        def program(variables, det_vars, frame, frame_s2d, true_hw):
+        def program(variables, det_vars, pack, basis_w, basis_u, anchors,
+                    frame, frame_s2d, true_hw):
             x = frame_s2d - det_mean
             loc, conf = det.net.apply(det_vars, x[None], train=False)
             scores = jax.nn.softmax(conf[0], axis=-1)[:, 1]
-            boxes = decode_boxes(loc[0], det.anchors) * jnp.asarray(
+            boxes = decode_boxes(loc[0], anchors) * jnp.asarray(
                 [cw, ch, cw, ch], jnp.float32)
             th = true_hw[0].astype(jnp.float32)
             tw = true_hw[1].astype(jnp.float32)
@@ -228,7 +263,8 @@ class FusedFrameEngine:
             param62, _ = model.apply(variables, xn, train=False)
             param62 = param62.astype(jnp.float32)
             lmk = rescale_to_roi(decode_landmarks(param62, pack), rois)
-            dense = rescale_to_roi(decode_dense_fast(param62, pack), rois)
+            dense = rescale_to_roi(
+                decode_dense_in(param62, pack, basis_w, basis_u), rois)
             angles, t3d = pose_from_param(param62, pack)
             t3d = rescale_pose_to_roi(t3d, rois)
             return (face_scores, n_faces, rois, param62, lmk, dense,
@@ -254,6 +290,7 @@ class FusedFrameEngine:
         packed = np.ascontiguousarray(space_to_depth(canvas))
 
         out = self._program(self.api.variables, self.detector.variables,
+                            *self.pack_args,
                             jnp.asarray(canvas), jnp.asarray(packed),
                             jnp.asarray([hs, ws], jnp.int32))
         scores, n, rois, p62, lmk, dense, angles, t3d = map(np.asarray, out)
@@ -277,5 +314,6 @@ class FusedFrameEngine:
 def _fused_batch_program(engine: "FusedFrameEngine"):
     """vmap the fused frame program over a leading frame axis — multi-stream
     throughput serving (B frames x max_faces faces in one dispatch)."""
-    return jax.jit(jax.vmap(engine._program,
-                            in_axes=(None, None, 0, 0, 0)))
+    return jax.jit(jax.vmap(
+        engine._program,
+        in_axes=(None, None, None, None, None, None, 0, 0, 0)))

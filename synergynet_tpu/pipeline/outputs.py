@@ -51,6 +51,53 @@ def write_obj_with_colors(path: str, vertices: np.ndarray,
     return path
 
 
+def write_obj_with_colors_texture(path: str, vertices: np.ndarray,
+                                  triangles: np.ndarray,
+                                  colors: np.ndarray,
+                                  uv_coords: np.ndarray,
+                                  mtl_name: Optional[str] = None,
+                                  texture_name: str = "texture.png") -> str:
+    """mtl-referencing textured obj (reference ``_write_obj_with_colors_
+    texture``, Sim3DR/lib/rasterize_kernel.cpp:464-512 — dead code there:
+    never exposed through rasterize.pyx; implemented here for capability
+    completeness).
+
+    Layout follows the reference: ``mtllib`` header; ``v x y z r g b``
+    per-vertex lines (colors (V, 3), written as-is); ``vt u v`` lines for
+    ``uv_coords`` (V, 2); ``usemtl FaceTexture``; faces reversed with
+    vertex/uv indices ``f t2/t2 t1/t1 t0/t0`` (1-based ``triangles``
+    (3, T)). One deliberate divergence: the reference's v-line glues z and
+    r together with no separator (``<< vertices[3i+2] << colors[3i]``, an
+    obvious stream bug in dead code) — a space is emitted instead so the
+    file parses. A minimal companion ``.mtl`` is also written (the
+    reference names one but never creates it).
+    """
+    path = _ensure_obj(path)
+    if mtl_name is None:
+        mtl_name = os.path.splitext(os.path.basename(path))[0] + ".mtl"
+    v = np.asarray(vertices)
+    t = np.asarray(triangles)
+    c = np.asarray(colors)
+    uv = np.asarray(uv_coords)
+    with open(path, "w") as f:
+        f.write(f"mtllib {mtl_name}\n")
+        f.writelines(
+            f"v {v[0, i]:.4f} {v[1, i]:.4f} {v[2, i]:.4f} "
+            f"{c[i, 0]} {c[i, 1]} {c[i, 2]}\n"
+            for i in range(v.shape[1]))
+        f.writelines(f"vt {uv[i, 0]:.6f} {uv[i, 1]:.6f}\n"
+                     for i in range(uv.shape[0]))
+        f.write("usemtl FaceTexture\n")
+        f.writelines(
+            f"f {t[2, i]}/{t[2, i]} {t[1, i]}/{t[1, i]} {t[0, i]}/{t[0, i]}\n"
+            for i in range(t.shape[1]))
+    mtl_path = os.path.join(os.path.dirname(path) or ".", mtl_name)
+    with open(mtl_path, "w") as f:
+        f.write("newmtl FaceTexture\n"
+                f"map_Kd {texture_name}\n")
+    return path
+
+
 class UVTextureMapper:
     """BFM UV-space color lookup (artistic.py:45-49).
 

@@ -255,23 +255,28 @@ def _prepare(rec, vertices, triangles, *, h, w, ry, rx):
              & ~empty[:, None, None])
     bins = jnp.where(valid, bys * nbx + bxs, nbins).reshape(-1)   # (T*R,)
 
-    # Order copies by (bin, copy index). Copy index // R is the triangle
-    # index, so the per-bin order is triangle order — which the depth-test
-    # tie-break relies on. When both fields fit one int32 (every realistic
-    # canvas/mesh), pack bin into the high bits and sort ONE array — the
-    # distinct packed keys make the sort order identical to the stable
-    # (bin, idx) pair sort, at roughly half the sort cost — and search the
-    # packed keys directly for the segment starts.
-    copy_idx = jnp.arange(t * rcount, dtype=jnp.int32)
-    idx_bits = max(1, int(t * rcount - 1).bit_length())
-    if idx_bits + int(nbins + 1).bit_length() <= 31:
-        packed = jax.lax.sort((bins << idx_bits) | copy_idx)
-        order = packed & ((1 << idx_bits) - 1)
+    # Order copies by (bin, triangle). The per-bin order must be triangle
+    # order — the depth-test tie-break relies on it. A triangle's R copies
+    # all target DISTINCT bins, so within a bin each triangle appears at
+    # most once and the TRIANGLE index (20 bits for the 846K-tri 8-face
+    # mesh — vs 23 for the copy index, which overflowed int32 at 8 faces
+    # and silently fell back to the ~10x slower stable pair sort) fully
+    # determines both the order and the gather row. Pack bin into the high
+    # bits and sort ONE int32 array; duplicate keys only occur among
+    # parked (bin == nbins) copies, past every segment end.
+    tri_bits = max(1, int(t - 1).bit_length())
+    if tri_bits + int(nbins).bit_length() <= 31:
+        tri_of_copy = (jnp.arange(t * rcount, dtype=jnp.int32)
+                       // jnp.int32(rcount))
+        packed = jax.lax.sort((bins << tri_bits) | tri_of_copy)
+        order_tri = packed & ((1 << tri_bits) - 1)
         seg_keys = packed
-        seg_queries = jnp.arange(nbins + 1) << idx_bits
+        seg_queries = jnp.arange(nbins + 1) << tri_bits
     else:
+        copy_idx = jnp.arange(t * rcount, dtype=jnp.int32)
         seg_keys, order = jax.lax.sort((bins, copy_idx), num_keys=1,
                                        is_stable=True)
+        order_tri = order // rcount
         seg_queries = jnp.arange(nbins + 1)
 
     # Per-bin segments; every bin gets >= 1 chunk so its output tile is
@@ -288,7 +293,10 @@ def _prepare(rec, vertices, triangles, *, h, w, ry, rx):
 
     total_chunks_max = t * rcount // CHUNK + nbins + 1
     cd = jnp.arange(total_chunks_max, dtype=jnp.int32)
-    c2b = jnp.clip(jnp.searchsorted(chunk_start, cd, side="right") - 1,
+    # compare_all: the default 'scan' method serializes a binary-search
+    # while_loop per query (~14K queries here)
+    c2b = jnp.clip(jnp.searchsorted(chunk_start, cd, side="right",
+                                    method="compare_all") - 1,
                    0, nbins - 1).astype(jnp.int32)
     in_use = cd < chunk_start[-1]
     ccount = jnp.where(
@@ -305,7 +313,7 @@ def _prepare(rec, vertices, triangles, *, h, w, ry, rx):
     # CHUNK pad rows keep the tail window in bounds (the kernel masks
     # past-the-segment rows by count); lanes pad to 128 because Mosaic DMA
     # slices must be lane-tile aligned.
-    rec_sorted = jnp.pad(rec[(order // rcount).astype(jnp.int32)],
+    rec_sorted = jnp.pad(rec[order_tri.astype(jnp.int32)],
                          ((0, CHUNK), (0, 128 - REC_W)))     # (T*R+C, 128)
     src0 = jnp.clip(starts[c2b] + (cd - chunk_start[c2b]) * CHUNK,
                     0, t * rcount)                           # (C,)
@@ -369,6 +377,42 @@ def _rasterize_color(vertices, triangles, colors, *, h, w, ry, rx,
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "ry", "rx",
                                              "interpret"))
+def _rasterize_color_auto(vertices, triangles, colors, *, h, w, ry, rx,
+                          interpret):
+    """Color rasterize with a data-dependent copy grid.
+
+    (ry, rx) must be sized for the worst case (canvas-wide rois -> ~18 px
+    triangles -> (4, 2)), but typical face rois produce triangles whose
+    bboxes fit a single bin span, where a (2, 2) grid suffices — half the
+    copies entering the bin sort and record gather. The triangle bbox
+    extents are already in the plane records, so one reduction picks the
+    branch; both branches share the record build and produce identical
+    output whenever the small grid is sufficient (the guard guarantees
+    it).
+    """
+    rec = _plane_setup(vertices, triangles,
+                       [colors[:, 0], colors[:, 1], colors[:, 2]])
+    if (ry, rx) == (2, 2) or ry < 2:
+        return _run_tiled(rec, vertices, triangles, h=h, w=w, ry=ry, rx=rx,
+                          n_payload=3, interpret=interpret)
+    # Unclamped ceil/floor bbox extents: E <= TILE guarantees the bbox
+    # touches at most 2 bins per axis even when it straddles a boundary.
+    ey = jnp.max(rec[:, _BBOX0 + 3] - rec[:, _BBOX0 + 2])
+    ex = jnp.max(rec[:, _BBOX0 + 1] - rec[:, _BBOX0])
+    small = (ey <= TH) & (ex <= TW)
+
+    def run(g):
+        def f(r):
+            return _run_tiled(r, vertices, triangles, h=h, w=w,
+                              ry=g[0], rx=g[1], n_payload=3,
+                              interpret=interpret)
+        return f
+
+    return jax.lax.cond(small, run((2, 2)), run((ry, rx)), rec)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "ry", "rx",
+                                             "interpret"))
 def _rasterize_visibility(vertices, triangles, *, h, w, ry, rx, interpret):
     t = triangles.shape[0]
     zeros = jnp.zeros((vertices.shape[0],), jnp.float32)
@@ -387,11 +431,18 @@ def _rasterize_visibility(vertices, triangles, *, h, w, ry, rx, interpret):
 def rasterize_buffers_tiled(vertices: jnp.ndarray, triangles: jnp.ndarray,
                             colors: jnp.ndarray, *, h: int, w: int,
                             ry: int = 2, rx: int = 2,
-                            interpret: bool = False
+                            interpret: bool = False,
+                            auto_replication: bool = False
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in equivalent of :func:`raster.rasterize_buffers` on the tiled
-    kernel: (depth (h, w) f32 init -1e8, color (h, w, 3))."""
-    zbuf, pay = _rasterize_color(
+    kernel: (depth (h, w) f32 init -1e8, color (h, w, 3)).
+
+    ``auto_replication``: treat (ry, rx) as the worst-case grid and drop
+    to (2, 2) at runtime when every triangle bbox fits one bin span (see
+    :func:`_rasterize_color_auto`).
+    """
+    fn = _rasterize_color_auto if auto_replication else _rasterize_color
+    zbuf, pay = fn(
         jnp.asarray(vertices, jnp.float32),
         jnp.asarray(triangles, jnp.int32),
         jnp.asarray(colors, jnp.float32),

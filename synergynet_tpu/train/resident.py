@@ -39,7 +39,8 @@ from synergynet_tpu.train.step import make_train_step
 
 
 def make_epoch_program(model, pack: ParamPack, optimizer, mesh,
-                       batch_size: int, augment: Optional[Callable] = None):
+                       batch_size: int, augment: Optional[Callable] = None,
+                       bn_groups: int = 1):
     """Compile ``epoch(state, images, params62, key) -> (state, metrics)``.
 
     ``images``: (D, n_local, H, W, C) uint8, sharded ``P('data')``;
@@ -47,7 +48,8 @@ def make_epoch_program(model, pack: ParamPack, optimizer, mesh,
     ``metrics``: per-epoch means of the train-step metrics.
     D is the mesh's data-axis size and B must divide D * n_local.
     """
-    step = make_train_step(model, pack, optimizer, augment=augment)
+    step = make_train_step(model, pack, optimizer, augment=augment,
+                           bn_groups=bn_groups)
     d = mesh.shape[meshlib.DATA_AXIS]
     if batch_size % d:
         raise ValueError(f"batch {batch_size} not divisible by data={d}")
@@ -103,10 +105,19 @@ def shard_resident_arrays(mesh, images: np.ndarray, params62: np.ndarray
     n = (len(images) // d) * d
     hwc = tuple(images.shape[1:])
     imgs = images[:n].reshape(d, n // d, -1)
-    tgts = params62[:n].reshape(d, n // d, params62.shape[1])
+    tgts = params62[:n].reshape(d, n // d, params62.shape[1]
+                                ).astype(np.float32)
     dsh = NamedSharding(mesh, P(meshlib.DATA_AXIS))
-    return (jax.device_put(imgs, dsh),
-            jax.device_put(tgts.astype(np.float32), dsh), hwc)
+    nproc = jax.process_count()
+    if nproc > 1:
+        # Every process holds the (bit-stable) full dataset; upload only
+        # the row block its local mesh rows own.
+        pid = jax.process_index()
+        rows = slice(pid * d // nproc, (pid + 1) * d // nproc)
+        return (jax.make_array_from_process_local_data(dsh, imgs[rows]),
+                jax.make_array_from_process_local_data(dsh, tgts[rows]),
+                hwc)
+    return (jax.device_put(imgs, dsh), jax.device_put(tgts, dsh), hwc)
 
 
 def fit_resident(trainer, images: np.ndarray, params62: np.ndarray,
@@ -120,7 +131,8 @@ def fit_resident(trainer, images: np.ndarray, params62: np.ndarray,
     epochs = epochs if epochs is not None else t.epochs
     epoch_fn = make_epoch_program(trainer.model, trainer.pack,
                                   trainer.optimizer, trainer.mesh,
-                                  t.batch_size, augment=trainer.augment)
+                                  t.batch_size, augment=trainer.augment,
+                                  bn_groups=getattr(trainer, "bn_groups", 1))
     g_imgs, g_tgts, hwc = shard_resident_arrays(trainer.mesh, images,
                                                 params62)
     key = jax.random.PRNGKey(t.seed)

@@ -66,7 +66,8 @@ def create_train_state(model: SynergyNet, rng: jax.Array,
 
 def make_train_step(model: SynergyNet, pack: ParamPack,
                     optimizer: optax.GradientTransformation,
-                    augment: Callable | None = None):
+                    augment: Callable | None = None,
+                    bn_groups: int = 1):
     """Returns ``step(state, images, target62, rng) -> (state, metrics)``.
 
     ``metrics['skipped']`` is 1.0 when the step was skipped due to non-finite
@@ -74,6 +75,18 @@ def make_train_step(model: SynergyNet, pack: ParamPack,
     ``augment``: optional device-side batched augmentation
     ``(images_u8, key) -> float [0, 255]`` fused into the step
     (:func:`synergynet_tpu.data.device_augment.device_augment`).
+
+    ``bn_groups``: 1 = sync-BN (global batch statistics — the SPMD default,
+    strictly more stable). >1 = per-replica BN train-parity mode
+    (SURVEY.md §7): the batch splits into ``bn_groups`` contiguous groups
+    and BatchNorm statistics are computed per group via ``vmap``, exactly
+    the reference's ``nn.DataParallel`` semantics (each GPU normalizes its
+    own shard, model_building.py:98-101 / main_train.py:176). The
+    persisted running stats are group 0's — torch DataParallel broadcasts
+    buffers from the master each forward, so only the master replica's
+    (= first shard's) updates survive. Loss = mean of per-group means,
+    which equals the global mean for equal group sizes. Set ``bn_groups``
+    to the mesh's data-axis size so groups coincide with device shards.
     """
 
     def train_step(state: TrainState, images: jnp.ndarray,
@@ -92,6 +105,28 @@ def make_train_step(model: SynergyNet, pack: ParamPack,
             images = (images.astype(jnp.float32) - 127.5) / 128.0
 
         def loss_fn(params):
+            if bn_groups > 1:
+                b = images.shape[0]
+                if b % bn_groups:
+                    raise ValueError(f"batch {b} not divisible into "
+                                     f"{bn_groups} BN groups")
+                gi = images.reshape(bn_groups, b // bn_groups,
+                                    *images.shape[1:])
+                gt = target62.reshape(bn_groups, b // bn_groups, -1)
+                grngs = jax.random.split(dropout_rng, bn_groups)
+
+                def per_group(im, tg, key):
+                    return synergy_criterion(
+                        model, {"params": params,
+                                "batch_stats": state.batch_stats},
+                        im, tg, pack, train=True, dropout_rng=key)
+
+                totals, losses_g, updates_g = jax.vmap(per_group)(
+                    gi, gt, grngs)
+                # master-replica running stats (group 0) persist
+                return jnp.mean(totals), (
+                    jax.tree.map(jnp.mean, losses_g),
+                    jax.tree.map(lambda s: s[0], updates_g))
             total, losses, updates = synergy_criterion(
                 model, {"params": params, "batch_stats": state.batch_stats},
                 images, target62, pack, train=True, dropout_rng=dropout_rng)
@@ -127,9 +162,11 @@ def make_train_step(model: SynergyNet, pack: ParamPack,
 
 def jit_train_step(model: SynergyNet, pack: ParamPack,
                    optimizer: optax.GradientTransformation,
-                   mesh, augment: Callable | None = None) -> Callable:
+                   mesh, augment: Callable | None = None,
+                   bn_groups: int = 1) -> Callable:
     """jit the train step over a mesh: batch sharded on data, state replicated."""
-    step = make_train_step(model, pack, optimizer, augment=augment)
+    step = make_train_step(model, pack, optimizer, augment=augment,
+                           bn_groups=bn_groups)
     rep = meshlib.replicated(mesh)
     bsh = meshlib.batch_sharding(mesh)
     return jax.jit(

@@ -90,10 +90,22 @@ class Trainer:
             arch=self.cfg.model.arch,
             dtype=jnp.dtype(self.cfg.model.compute_dtype))
         self.mesh = mesh if mesh is not None else meshlib.make_mesh()
+        nproc = jax.process_count()
+        if nproc > 1:
+            # Multi-host SPMD: every process loads a disjoint dataset shard
+            # and feeds batch_size/nproc local rows per global step; the
+            # collective contexts are warmed serially first (gVisor
+            # deadlocks on concurrent gloo context creation).
+            from synergynet_tpu.parallel import warm_mesh_cliques
+            warm_mesh_cliques(self.mesh)
+            if t.batch_size % nproc:
+                raise ValueError(f"global batch {t.batch_size} must divide "
+                                 f"across {nproc} processes")
         self.dataset = build_dataset(self.cfg)
         self.loader = PrefetchLoader(
-            self.dataset, t.batch_size, shuffle=True, drop_last=True,
-            num_workers=t.num_workers, seed=t.seed)
+            self.dataset, t.batch_size // nproc, shuffle=True,
+            drop_last=True, num_workers=t.num_workers, seed=t.seed,
+            process_index=jax.process_index(), process_count=nproc)
         steps_per_epoch = max(len(self.loader), 1)
         self.lr_fn = lr_per_step(t.base_lr, t.milestones, t.warmup,
                                  steps_per_epoch)
@@ -103,8 +115,11 @@ class Trainer:
         self.state = create_train_state(
             self.model, jax.random.PRNGKey(t.seed), self.optimizer)
         self.augment = build_augment(self.cfg)
+        self.bn_groups = (self.mesh.shape[meshlib.DATA_AXIS]
+                          if t.per_replica_bn else 1)
         self.step_fn = jit_train_step(self.model, self.pack, self.optimizer,
-                                      self.mesh, augment=self.augment)
+                                      self.mesh, augment=self.augment,
+                                      bn_groups=self.bn_groups)
         self.state = meshlib.replicate(self.mesh, self.state)
         self.eval_hook = eval_hook
         self.start_epoch = 1
@@ -116,7 +131,9 @@ class Trainer:
         d = self.cfg.train.snapshot_dir
         return os.path.join(d, f"synergynet_epoch_{epoch}.npz")
 
-    def save(self, epoch: int) -> str:
+    def save(self, epoch: int) -> Optional[str]:
+        if jax.process_index() != 0:     # one writer per multi-host job
+            return None
         path = self.ckpt_path(epoch)
         save_checkpoint(path, jax.device_get(self.state),
                         step=int(self.state.step),
@@ -129,6 +146,8 @@ class Trainer:
         """Failure containment: persist the live state so a crashed run can
         resume (the reference loses everything since the last periodic
         torch.save). Used by both fit() and fit_resident()."""
+        if jax.process_index() != 0:
+            return
         path = os.path.join(self.cfg.train.snapshot_dir,
                             "synergynet_emergency.npz")
         try:

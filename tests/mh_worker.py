@@ -99,20 +99,11 @@ if PID == 0:
     print(f"[{PID}] loader shards disjointly cover {N} samples", flush=True)
 
 # --- 2. a sharded train step whose gradient psum crosses processes -------
-# Creating two cross-process gloo contexts concurrently (the gradient psum
-# over the two model columns) deadlocks under gVisor's network stack; warm
-# each column clique serially first — the backend caches contexts per
-# device clique, so the train step then finds both ready.
-from jax.sharding import Mesh  # noqa: E402
+# Concurrent cross-process gloo context creation deadlocks under gVisor;
+# the library warms each model-column clique serially.
+from synergynet_tpu.parallel import warm_mesh_cliques  # noqa: E402
 
-for col in range(mesh.devices.shape[1]):
-    sub = Mesh(mesh.devices[:, col:col + 1], mesh.axis_names)
-    ones = jax.make_array_from_process_local_data(
-        NamedSharding(sub, P("data")),
-        np.ones((mesh.devices.shape[0] // NPROC,), np.float32))
-    warm = jax.jit(lambda x: x.sum(),
-                   out_shardings=NamedSharding(sub, P()))(ones)
-    assert float(warm) == mesh.devices.shape[0]
+warm_mesh_cliques(mesh)
 print(f"[{PID}] column cliques warmed", flush=True)
 
 model = SynergyNet(arch="mobilenet_v2_0.5")

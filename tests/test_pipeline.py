@@ -88,6 +88,26 @@ class TestOutputs:
         lines = open(p).read().strip().splitlines()
         assert lines[0].count(" ") == 6 and lines[-1] == "f 1 2 3"
 
+    def test_write_obj_with_colors_texture(self, tmp_path):
+        """mtl-textured obj writer (reference rasterize_kernel.cpp:464-512,
+        round-2 VERDICT item 8): mtllib header, colored v lines, vt lines,
+        usemtl, reversed v/vt faces, companion .mtl."""
+        from synergynet_tpu.pipeline import write_obj_with_colors_texture
+        v = np.arange(12, dtype=np.float32).reshape(3, 4)
+        t = np.array([[1, 2], [2, 3], [3, 4]], np.int32)
+        c = np.full((4, 3), 0.5, np.float32)
+        uv = np.linspace(0, 1, 8, dtype=np.float32).reshape(4, 2)
+        p = write_obj_with_colors_texture(str(tmp_path / "tex.obj"),
+                                          v, t, c, uv)
+        lines = open(p).read().strip().splitlines()
+        assert lines[0] == "mtllib tex.mtl"
+        assert lines[1].startswith("v ") and lines[1].count(" ") == 6
+        assert sum(ln.startswith("vt ") for ln in lines) == 4
+        assert "usemtl FaceTexture" in lines
+        assert lines[-2] == "f 3/3 2/2 1/1" and lines[-1] == "f 4/4 3/3 2/2"
+        mtl = open(str(tmp_path / "tex.mtl")).read()
+        assert "newmtl FaceTexture" in mtl and "map_Kd" in mtl
+
     def test_uv_mapper_lookup_and_trim(self):
         m = UVTextureMapper.synthetic(nver=500)
         tex = np.random.default_rng(0).integers(
@@ -200,7 +220,7 @@ class TestBatchedFrames:
 
         batched = eng.process_batch(jnp.asarray(frames), jnp.asarray(packed),
                                     jnp.asarray(hws))
-        single = eng._program(api.variables, det.variables,
+        single = eng._program(api.variables, det.variables, *eng.pack_args,
                               jnp.asarray(frames[1]), jnp.asarray(packed[1]),
                               jnp.asarray(hws[1]))
         for b, s in zip(batched, single):

@@ -204,6 +204,43 @@ class TestRenderLitFaces:
         np.testing.assert_array_equal(overlay, want)
 
 
+    def test_adaptive_buckets_match_full_render(self):
+        """render_lit_faces_adaptive must reproduce render_lit_faces for
+        every face count (the lax.switch picks a smaller static bucket but
+        the drawn output is identical — valid faces come first)."""
+        import jax.numpy as jnp
+        from synergynet_tpu.pipeline.overlay_engine import (
+            render_lit_faces, render_lit_faces_adaptive)
+        from synergynet_tpu.render.normals import one_ring_table
+
+        rng = np.random.default_rng(5)
+        nver, f = 25, 4
+        base = np.stack([rng.uniform(4, 28, nver), rng.uniform(4, 28, nver),
+                         rng.uniform(1, 6, nver)], 1).astype(np.float32)
+        tris = rng.integers(0, nver, (30, 3)).astype(np.int32)
+        verts = np.stack([base + np.asarray([30 * i, 0, 0], np.float32)
+                          for i in range(f)])
+        tris_all = (tris[None] + (np.arange(f) * nver)[:, None, None]
+                    ).reshape(-1, 3).astype(np.int32)
+        rings = jnp.asarray(one_ring_table(tris, nver))
+        frame = rng.integers(0, 120, (32, 128, 3)).astype(np.uint8)
+
+        for n in range(f + 1):
+            valid = jnp.arange(f) < n
+            want_ov, want_so = render_lit_faces(
+                jnp.asarray(frame), jnp.asarray(verts), valid,
+                jnp.asarray(tris), jnp.asarray(tris_all), rings,
+                alpha=0.6, replication=(8, 2), interpret=True)
+            got_ov, got_so = render_lit_faces_adaptive(
+                jnp.asarray(frame), jnp.asarray(verts), jnp.int32(n),
+                jnp.asarray(tris), jnp.asarray(tris_all), rings,
+                alpha=0.6, replication=(8, 2), interpret=True)
+            np.testing.assert_array_equal(np.asarray(got_so),
+                                          np.asarray(want_so), err_msg=n)
+            np.testing.assert_array_equal(np.asarray(got_ov),
+                                          np.asarray(want_ov), err_msg=n)
+
+
 class TestTiledTexture:
     def test_matches_window_texture_path(self):
         import jax.numpy as jnp

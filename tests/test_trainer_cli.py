@@ -65,6 +65,19 @@ class TestTrainer:
 
 
 class TestCLI:
+    def test_train_cli_resident_runs(self, tmp_path):
+        """The user-facing train CLI reaches the device-resident path
+        (round-2 VERDICT item 4): one epoch, one dispatch, checkpoint
+        written."""
+        from synergynet_tpu.cli.train import main
+        snap = tmp_path / "ckpts"
+        main(["--resident", "--arch", "mobilenet_v2_0.5",
+              "--epochs", "1", "--batch-size", "8",
+              "--synthetic-size", "24", "--no-eval",
+              "--snapshot-dir", str(snap),
+              "--log-file", str(tmp_path / "train.log")])
+        assert os.path.exists(str(snap / "synergynet_epoch_1.npz"))
+
     def test_evaluate_cli_runs(self, capsys):
         from synergynet_tpu.cli.evaluate import main
         r = main(["-n", "16", "--batch-size", "16"])
