@@ -30,6 +30,11 @@ def main(argv=None):
     p.add_argument("--snapshot-dir", default=None)
     p.add_argument("--resume", default=None)
     p.add_argument("--workers", type=int, default=None)
+    p.add_argument("--accum-steps", type=int, default=None,
+                   help="run each batch as N sequential microbatches "
+                        "(exact mean of gradients, chained BN stats); 2 "
+                        "recovers bs512 throughput at the recipe's bs1024 "
+                        "(docs/TRAINING.md working-set regression)")
     p.add_argument("--test-initial", action="store_true")
     p.add_argument("--log-file", default="output.log")
     p.add_argument("--no-eval", action="store_true")
@@ -67,6 +72,7 @@ def main(argv=None):
                       ("base_lr", args.base_lr), ("epochs", args.epochs),
                       ("warmup", args.warmup), ("resume", args.resume),
                       ("num_workers", args.workers),
+                      ("accum_steps", args.accum_steps),
                       ("snapshot_dir", args.snapshot_dir)):
         if val is not None:
             setattr(t, name, val)

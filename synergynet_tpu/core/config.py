@@ -47,6 +47,11 @@ class TrainConfig:
     # nn.DataParallel semantics, main_train.py:176); default is sync-BN
     # over the global batch (strictly more stable).
     per_replica_bn: bool = False
+    # Microbatch gradient accumulation: run the batch as N sequential
+    # microbatches (exact mean of gradients, chained BN stats). 2 recovers
+    # bs512 per-crop throughput at the recipe's bs1024 global batch
+    # (docs/TRAINING.md, the working-set regression).
+    accum_steps: int = 1
 
 
 @dataclass

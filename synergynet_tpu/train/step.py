@@ -67,7 +67,7 @@ def create_train_state(model: SynergyNet, rng: jax.Array,
 def make_train_step(model: SynergyNet, pack: ParamPack,
                     optimizer: optax.GradientTransformation,
                     augment: Callable | None = None,
-                    bn_groups: int = 1):
+                    bn_groups: int = 1, accum_steps: int = 1):
     """Returns ``step(state, images, target62, rng) -> (state, metrics)``.
 
     ``metrics['skipped']`` is 1.0 when the step was skipped due to non-finite
@@ -87,7 +87,20 @@ def make_train_step(model: SynergyNet, pack: ParamPack,
     (= first shard's) updates survive. Loss = mean of per-group means,
     which equals the global mean for equal group sizes. Set ``bn_groups``
     to the mesh's data-axis size so groups coincide with device shards.
+
+    ``accum_steps``: >1 runs the batch as that many sequential microbatches
+    under ``lax.scan``, averaging gradients — the update is the exact mean
+    of per-microbatch gradients and BatchNorm statistics chain through the
+    microbatches sequentially (torch semantics for accumulated steps).
+    Motivation is measured, not semantic: at bs1024 XLA's per-crop
+    throughput drops ~14% vs bs512 (the activation working set outgrows
+    what fits close to the compute — forward temp memory grows 2.4x for a
+    2x batch, scripts/prof_train_bs.py), so the reference recipe's bs1024
+    (train_script.sh:14) runs fastest as 2 x bs512 microbatches. Mutually
+    exclusive with ``bn_groups``.
     """
+    if accum_steps > 1 and bn_groups > 1:
+        raise ValueError("accum_steps and bn_groups are mutually exclusive")
 
     def train_step(state: TrainState, images: jnp.ndarray,
                    target62: jnp.ndarray, rng: jax.Array
@@ -103,6 +116,44 @@ def make_train_step(model: SynergyNet, pack: ParamPack,
             # (x - 127.5) / 128), fused on device; float inputs are assumed
             # pre-normalized.
             images = (images.astype(jnp.float32) - 127.5) / 128.0
+
+        if accum_steps > 1:
+            b = images.shape[0]
+            if b % accum_steps:
+                raise ValueError(f"batch {b} not divisible into "
+                                 f"{accum_steps} microbatches")
+            mb = b // accum_steps
+            im_mb = images.reshape(accum_steps, mb, *images.shape[1:])
+            tg_mb = target62.reshape(accum_steps, mb, -1)
+            keys = jax.random.split(dropout_rng, accum_steps)
+
+            def loss_mb(params, stats, im, tg, key):
+                total, losses, updates = synergy_criterion(
+                    model, {"params": params, "batch_stats": stats},
+                    im, tg, pack, train=True, dropout_rng=key)
+                return total, (losses, updates)
+
+            def scan_body(carry, xs):
+                stats, gacc, tacc, lacc = carry
+                im, tg, key = xs
+                (t_, (l_, upd)), g = jax.value_and_grad(
+                    loss_mb, has_aux=True)(state.params, stats, im, tg, key)
+                return (upd.get("batch_stats", stats),
+                        jax.tree.map(jnp.add, gacc, g),
+                        tacc + t_, jax.tree.map(jnp.add, lacc, l_)), None
+
+            from synergynet_tpu.nn.synergy import LOSS_WEIGHTS
+            l0 = {k: jnp.float32(0.0) for k in LOSS_WEIGHTS}
+            g0 = jax.tree.map(jnp.zeros_like, state.params)
+            (stats, gacc, tacc, lacc), _ = jax.lax.scan(
+                scan_body, (state.batch_stats, g0, jnp.float32(0.0), l0),
+                (im_mb, tg_mb, keys))
+            inv = 1.0 / accum_steps
+            total = tacc * inv
+            losses = jax.tree.map(lambda l: l * inv, lacc)
+            updates = {"batch_stats": stats}
+            grads = jax.tree.map(lambda g: g * inv, gacc)
+            return _apply_update(state, total, losses, updates, grads)
 
         def loss_fn(params):
             if bn_groups > 1:
@@ -134,7 +185,9 @@ def make_train_step(model: SynergyNet, pack: ParamPack,
 
         (total, (losses, updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        return _apply_update(state, total, losses, updates, grads)
 
+    def _apply_update(state, total, losses, updates, grads):
         grads_finite = jnp.all(jnp.asarray(
             [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]))
 
@@ -163,10 +216,10 @@ def make_train_step(model: SynergyNet, pack: ParamPack,
 def jit_train_step(model: SynergyNet, pack: ParamPack,
                    optimizer: optax.GradientTransformation,
                    mesh, augment: Callable | None = None,
-                   bn_groups: int = 1) -> Callable:
+                   bn_groups: int = 1, accum_steps: int = 1) -> Callable:
     """jit the train step over a mesh: batch sharded on data, state replicated."""
     step = make_train_step(model, pack, optimizer, augment=augment,
-                           bn_groups=bn_groups)
+                           bn_groups=bn_groups, accum_steps=accum_steps)
     rep = meshlib.replicated(mesh)
     bsh = meshlib.batch_sharding(mesh)
     return jax.jit(

@@ -119,7 +119,8 @@ class Trainer:
                           if t.per_replica_bn else 1)
         self.step_fn = jit_train_step(self.model, self.pack, self.optimizer,
                                       self.mesh, augment=self.augment,
-                                      bn_groups=self.bn_groups)
+                                      bn_groups=self.bn_groups,
+                                      accum_steps=t.accum_steps)
         self.state = meshlib.replicate(self.mesh, self.state)
         self.eval_hook = eval_hook
         self.start_epoch = 1

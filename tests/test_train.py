@@ -199,6 +199,149 @@ class TestShardedServing:
                                        rtol=1e-3, atol=1e-3)
 
 
+class TestAccumSteps:
+    """accum_steps > 1 (microbatch gradient accumulation, the measured fix
+    for the bs1024 working-set regression — scripts/prof_train_bs.py) must
+    apply the exact mean of sequential per-microbatch gradients, with
+    BatchNorm statistics chained through the microbatches."""
+
+    def test_accum2_matches_sequential_microbatches(self, small_pack, rng):
+        import optax
+        from synergynet_tpu.nn.synergy import synergy_criterion
+        from synergynet_tpu.train import (create_train_state,
+                                          make_optimizer, make_train_step)
+        model = SynergyNet(arch="mobilenet_v2_0.5")
+        opt = make_optimizer(lambda step: 0.01)
+        state = create_train_state(model, jax.random.PRNGKey(0), opt)
+        images = jnp.asarray(rng.normal(0, 1, (8, 120, 120, 3)), jnp.float32)
+        target = jnp.asarray(rng.normal(0, 0.4, (8, 62)), jnp.float32)
+        key = jax.random.PRNGKey(5)
+
+        step2 = jax.jit(make_train_step(model, small_pack, opt,
+                                        accum_steps=2))
+        new_state, metrics = step2(state, images, target, key)
+
+        # manual: two sequential microbatches, chained stats, mean grads
+        dropout_rng = jax.random.fold_in(key, state.step)
+        keys = jax.random.split(dropout_rng, 2)
+
+        def grad_mb(stats, im, tg, k):
+            def loss(params):
+                total, losses, upd = synergy_criterion(
+                    model, {"params": params, "batch_stats": stats},
+                    im, tg, small_pack, train=True, dropout_rng=k)
+                return total, upd
+            (total, upd), g = jax.value_and_grad(loss, has_aux=True)(
+                state.params)
+            return total, upd["batch_stats"], g
+
+        t1, stats1, g1 = grad_mb(state.batch_stats, images[:4], target[:4],
+                                 keys[0])
+        t2, stats2, g2 = grad_mb(stats1, images[4:], target[4:], keys[1])
+        grads = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+        upd, _ = opt.update(grads, state.opt_state, state.params)
+        want_params = optax.apply_updates(state.params, upd)
+
+        # scan body vs unrolled microbatches regroup the f32 reductions.
+        # Loss and BN stats are tight; the param atol is the measured f32
+        # noise: BatchNorm *scale* gradients sum zero-mean x_hat*dy terms,
+        # so reduction-order changes move them by up to ~5e-2 absolute
+        # (jit-vs-nonjit of the IDENTICAL unrolled code shows 20-48x
+        # relative diffs on the same leaves). The scan mechanism itself is
+        # bit-exact — test_accum_scan_mechanism_exact_f64 proves it at
+        # float64 where cancellation noise vanishes.
+        np.testing.assert_allclose(float(metrics["loss_total"]),
+                                   float((t1 + t2) / 2), rtol=1e-5)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-2),
+            new_state.params, want_params)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+            new_state.batch_stats, stats2)
+
+    def test_accum_scan_mechanism_exact_f64(self):
+        """The scan-accumulation structure (per-microbatch value_and_grad
+        under lax.scan with BN stats chained through the carry, gradients
+        summed then averaged) is EXACTLY the unrolled sequential
+        computation: at float64, where the f32 cancellation noise of the
+        full model vanishes, scan and unrolled agree to last-ulp f64
+        rounding (~1e-14, vs the ~1e-2 f32 BN-scale noise the main test
+        tolerates — 12 orders of magnitude) on a conv+BN+dense+BN
+        composition."""
+        import flax.linen as nn
+
+        with jax.enable_x64():
+            class Tiny(nn.Module):
+                @nn.compact
+                def __call__(self, x, train):
+                    x = nn.Conv(8, (3, 3), strides=2, use_bias=False,
+                                dtype=jnp.float64)(x)
+                    x = nn.BatchNorm(use_running_average=not train,
+                                     momentum=0.9, epsilon=1e-5,
+                                     dtype=jnp.float64)(x)
+                    x = nn.relu(x).reshape(x.shape[0], -1)
+                    x = nn.Dense(16, dtype=jnp.float64)(x)
+                    x = nn.BatchNorm(use_running_average=not train,
+                                     momentum=0.9, epsilon=1e-5,
+                                     dtype=jnp.float64)(x)
+                    return nn.Dense(4, dtype=jnp.float64)(nn.relu(x))
+
+            rng = np.random.default_rng(0)
+            m = Tiny()
+            x_all = jnp.asarray(rng.normal(0, 1, (8, 12, 12, 3)))
+            y_all = jnp.asarray(rng.normal(0, 1, (8, 4)))
+            v = m.init(jax.random.PRNGKey(0), x_all[:1], True)
+            to64 = lambda t: jax.tree.map(
+                lambda a: a.astype(jnp.float64), t)
+            params, stats0 = to64(v["params"]), to64(v["batch_stats"])
+
+            def loss_mb(p, s, x, y):
+                out, upd = m.apply({"params": p, "batch_stats": s}, x,
+                                   True, mutable=["batch_stats"])
+                d = out - y
+                return jnp.mean(jnp.where(
+                    jnp.abs(d) < 0.5, 10 * jnp.log1p(jnp.abs(d) / 0.2),
+                    jnp.abs(d))), upd
+
+            def g_scan():
+                xm = x_all.reshape(2, 4, 12, 12, 3)
+                ym = y_all.reshape(2, 4, 4)
+
+                def body(c, xs):
+                    s, ga = c
+                    (_, upd), g = jax.value_and_grad(
+                        loss_mb, has_aux=True)(params, s, *xs)
+                    return (upd["batch_stats"],
+                            jax.tree.map(jnp.add, ga, g)), None
+                g0 = jax.tree.map(jnp.zeros_like, params)
+                (s, ga), _ = jax.lax.scan(body, (stats0, g0), (xm, ym))
+                return jax.tree.map(lambda g: g * 0.5, ga), s
+
+            def g_unr():
+                (_, u1), g1 = jax.value_and_grad(loss_mb, has_aux=True)(
+                    params, stats0, x_all[:4], y_all[:4])
+                (_, u2), g2 = jax.value_and_grad(loss_mb, has_aux=True)(
+                    params, u1["batch_stats"], x_all[4:], y_all[4:])
+                return (jax.tree.map(lambda a, b: (a + b) / 2, g1, g2),
+                        u2["batch_stats"])
+
+            gs, ss = jax.jit(g_scan)()
+            gu, su = jax.jit(g_unr)()
+            jax.tree.map(lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-13),
+                gs, gu)
+            jax.tree.map(lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-13),
+                ss, su)
+
+    def test_accum_rejects_bn_groups_combo(self, small_pack):
+        import optax
+        from synergynet_tpu.train import make_train_step
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            make_train_step(SynergyNet(arch="mobilenet_v2_0.5"), small_pack,
+                            optax.sgd(0.01), bn_groups=2, accum_steps=2)
+
+
 class TestPerReplicaBN:
     """bn_groups > 1 reproduces the reference's nn.DataParallel BatchNorm
     semantics (round-2 VERDICT item 8): each contiguous batch group
