@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--small", type=int, default=3)
     ap.add_argument("--large", type=int, default=9)
     ap.add_argument("--stages", default="full,raster,prep,sort,kernel,light")
+    ap.add_argument("--deferred", type=int, default=1,
+                    help="1: deferred-payload compact-record kernel (the "
+                         "default path); 0: in-kernel payload oracle")
     args = ap.parse_args()
 
     import jax
@@ -49,8 +52,14 @@ def main():
     from synergynet_tpu.mm3d import decode_dense, load_param_pack
     from synergynet_tpu.render import raster_tiled as rt
     from synergynet_tpu.render.normals import one_ring_table
-    from synergynet_tpu.pipeline.overlay_engine import (DEFAULT_REPLICATION,
-                                                        render_lit_faces)
+    import functools
+    from synergynet_tpu.pipeline import overlay_engine as oe
+    from synergynet_tpu.pipeline.overlay_engine import DEFAULT_REPLICATION
+    deferred = bool(args.deferred)
+    # render_lit_faces doesn't expose the kernel choice; patch its binding.
+    oe.rasterize_buffers_tiled = functools.partial(
+        rt.rasterize_buffers_tiled, deferred=deferred)
+    render_lit_faces = oe.render_lit_faces
 
     pack = load_param_pack()
     mean_face = np.asarray(
@@ -115,7 +124,8 @@ def main():
             def body(i, acc):
                 zb, col = rt.rasterize_buffers_tiled(
                     flat + i.astype(jnp.float32) * 1e-6, tj_all, colors,
-                    h=h, w=w, ry=ry, rx=rx, interpret=interpret)
+                    h=h, w=w, ry=ry, rx=rx, interpret=interpret,
+                    deferred=deferred)
                 return acc + zb[99, 99] + col[500, 500, 0]
             return lax.fori_loop(0, n, body, jnp.float32(0.0))
         results["raster"] = round(slope_ms(loop_raster, flat, tj_all,
@@ -269,7 +279,7 @@ def main():
         results["light"] = round(slope_ms(loop_light, vj, tj_face, rings), 2)
         print("# light", results["light"], flush=True)
 
-    print(json.dumps({"faces": f, "canvas": [h, w],
+    print(json.dumps({"faces": f, "canvas": [h, w], "deferred": deferred,
                       "replication": [ry, rx], "ms": results}))
 
 

@@ -7,13 +7,12 @@ overlay) as a single device program — a configuration the reference cannot
 run at speed (its chain is per-face host loops + C++ rasterize + numpy
 lighting, ~66 ms per face for the render stage alone; see docs/RENDERER.md).
 
-Measured on the v5e chip: 164 ms/frame at the full 8-face budget on the
-720x1088 canvas (one dispatch) vs ~530 ms for the reference's chain at 8
-faces (~66 ms/face render alone, docs/RENDERER.md). The static shapes
-make the render stage cost independent of how many faces are present
-(max_faces x replication copies enter the bin sort either way); trimming
-that via a record-count cap + per-face conditional rendering is the known
-next optimization.
+Measured on the v5e chip (render_lit_faces_adaptive, one dispatch on the
+720x1088 canvas): 0.01 / 13.9 / 30.9 / 72.8 / 133.4 ms/frame at
+0 / 1 / 2 / 4 / 8 faces vs ~530 ms for the reference's chain at 8 faces
+(~66 ms/face render alone, docs/RENDERER.md). The lax.switch over
+power-of-two face buckets makes the bin sort, record gather and kernel
+all scale with the detected face count instead of max_faces.
 
 Design: the detect/regress/decode stages reuse the FusedFrameEngine
 program verbatim. The render stage concatenates all (up to max_faces)

@@ -76,10 +76,24 @@ def within_replication_budget(n_triangles: int, ry: int, rx: int) -> bool:
 _PAYLOAD0 = 9
 _BBOX0 = 24
 
+# Compact (deferred-payload) record layout — 16 f32, PACK = 8 records per
+# 128-lane row:
+#   0-8    u/v/depth planes as above
+#   9      triangle id (exact in f32 below 2^24)
+#   10-13  x_min x_max y_min y_max
+#   14-15  pad
+RECC_W = 16
+PACK = 128 // RECC_W
+_CID = 9
+_CBBOX0 = 10
 
-def _plane_setup(vertices, triangles, payload_cols):
-    """(V, 3) verts + (T, 3) tris + per-vertex payload columns [(V,), ...]
-    -> (T, REC_W) records with zeroed bbox fields."""
+
+def _bary_setup(vertices, triangles):
+    """Shared barycentric plane setup: (V, 3) verts + (T, 3) tris ->
+    (attr_plane, base_rows, bbox_rows) where ``attr_plane(a0, a1, a2)``
+    compiles a per-vertex attribute into its 3 affine coefficients,
+    ``base_rows`` are the 9 u/v/depth plane rows and ``bbox_rows`` the 4
+    unclamped bbox rows (the binning stage clamps to the canvas)."""
     p0 = vertices[triangles[:, 0]]
     p1 = vertices[triangles[:, 1]]
     p2 = vertices[triangles[:, 2]]
@@ -109,20 +123,57 @@ def _plane_setup(vertices, triangles, payload_cols):
         return (du * au + dv * av, du * bu + dv * bv,
                 a0 + du * cu + dv * cv)
 
-    rows = [au, bu, cu, av, bv, cv,
-            *attr_plane(p0[:, 2], p1[:, 2], p2[:, 2])]
+    base_rows = [au, bu, cu, av, bv, cv,
+                 *attr_plane(p0[:, 2], p1[:, 2], p2[:, 2])]
+    xs = jnp.stack([p0[:, 0], p1[:, 0], p2[:, 0]], 1)
+    ys = jnp.stack([p0[:, 1], p1[:, 1], p2[:, 1]], 1)
+    bbox_rows = [jnp.floor(xs.min(1)), jnp.ceil(xs.max(1)),
+                 jnp.floor(ys.min(1)), jnp.ceil(ys.max(1))]
+    return attr_plane, base_rows, bbox_rows
+
+
+def _plane_setup(vertices, triangles, payload_cols):
+    """(V, 3) verts + (T, 3) tris + per-vertex payload columns [(V,), ...]
+    -> (T, REC_W) records with zeroed bbox fields."""
+    attr_plane, rows, bbox_rows = _bary_setup(vertices, triangles)
+    rows = list(rows)
     for col in payload_cols:
         a0, a1, a2 = (col[triangles[:, k]] for k in range(3))
         rows.extend(attr_plane(a0, a1, a2))
-    rows += [jnp.zeros_like(au)] * (_BBOX0 - len(rows))
-    # Unclamped bbox rides in rows 24-27 (reusing the vertex gathers; the
-    # binning stage clamps to the canvas).
-    xs = jnp.stack([p0[:, 0], p1[:, 0], p2[:, 0]], 1)
-    ys = jnp.stack([p0[:, 1], p1[:, 1], p2[:, 1]], 1)
-    rows += [jnp.floor(xs.min(1)), jnp.ceil(xs.max(1)),
-             jnp.floor(ys.min(1)), jnp.ceil(ys.max(1))]
+    rows += [jnp.zeros_like(rows[0])] * (_BBOX0 - len(rows))
+    rows += bbox_rows
     rec = jnp.stack(rows, axis=1)
     return jnp.pad(rec, ((0, 0), (0, REC_W - rec.shape[1])))
+
+
+def _plane_setup_compact(vertices, triangles, payload_cols):
+    """Deferred-payload record build: (T, RECC_W) compact records carrying
+    only the u/v/depth planes + triangle id + bbox, PLUS the per-triangle
+    payload plane coefficients (T, P, 3) evaluated later — per winning
+    pixel, not per record x pixel (see :func:`_eval_deferred_payloads`)."""
+    attr_plane, rows, bbox_rows = _bary_setup(vertices, triangles)
+    t = triangles.shape[0]
+    rows = list(rows) + [jnp.arange(t, dtype=jnp.float32)] + bbox_rows
+    rec = jnp.stack(rows, axis=1)
+    rec = jnp.pad(rec, ((0, 0), (0, RECC_W - rec.shape[1])))
+    planes = jnp.stack([
+        jnp.stack(attr_plane(*(col[triangles[:, k]] for k in range(3))), 1)
+        for col in payload_cols], 1)                       # (T, P, 3)
+    return rec, planes
+
+
+def _eval_deferred_payloads(tri_id, drawn, planes):
+    """(h, w) winner ids + (T, P, 3) payload plane coefficients -> (P, h, w)
+    payload buffers: one plane evaluation per WINNING pixel (the in-kernel
+    formulation pays it per record x tile pixel). Same f32 a*x + b*y + c as
+    the kernel's ``plane``."""
+    h, w = tri_id.shape
+    cp = planes[jnp.clip(tri_id, 0, planes.shape[0] - 1)]   # (h, w, P, 3)
+    x = jax.lax.broadcasted_iota(jnp.float32, (h, w, 1), 1)
+    y = jax.lax.broadcasted_iota(jnp.float32, (h, w, 1), 0)
+    val = cp[..., 0] * x + cp[..., 1] * y + cp[..., 2]      # (h, w, P)
+    val = jnp.where(drawn[..., None], val, 0.0)
+    return jnp.moveaxis(val, -1, 0)
 
 
 def _raster_kernel(c2b_ref, cc_ref, src0_ref, rec_hbm, *out_refs,
@@ -223,24 +274,24 @@ def _raster_kernel(c2b_ref, cc_ref, src0_ref, rec_hbm, *out_refs,
             pr[:] = pv.reshape(TH, TW)
 
 
-def _prepare(rec, vertices, triangles, *, h, w, ry, rx):
-    """Bin + order + chunk-align: records (T, REC_W) ->
-    (c2b (C,), ccount (C,), rec_binned (C*CHUNK, REC_W))."""
-    t = triangles.shape[0]
+def _bin_maps(rec, t, *, h, w, ry, rx, bbox0):
+    """Shared binning core: clamp bboxes, replicate copies into bins, sort
+    by (bin, triangle), derive the per-bin segment and per-chunk maps.
+    Returns (rec_clamped, order_tri, starts, chunk_start, c2b, ccount)."""
     nby, nbx = -(-h // TH), -(-w // TW)
     nbins = nby * nbx
     rcount = ry * rx
 
     # Clamp the record bbox (computed once in _plane_setup from the same
     # vertex gathers) to the canvas — reference rasterize_kernel.cpp:244-252.
-    x_min = jnp.maximum(rec[:, _BBOX0].astype(jnp.int32), 0)
-    x_max = jnp.minimum(rec[:, _BBOX0 + 1].astype(jnp.int32), w - 1)
-    y_min = jnp.maximum(rec[:, _BBOX0 + 2].astype(jnp.int32), 0)
-    y_max = jnp.minimum(rec[:, _BBOX0 + 3].astype(jnp.int32), h - 1)
-    rec = rec.at[:, _BBOX0].set(x_min.astype(jnp.float32))
-    rec = rec.at[:, _BBOX0 + 1].set(x_max.astype(jnp.float32))
-    rec = rec.at[:, _BBOX0 + 2].set(y_min.astype(jnp.float32))
-    rec = rec.at[:, _BBOX0 + 3].set(y_max.astype(jnp.float32))
+    x_min = jnp.maximum(rec[:, bbox0].astype(jnp.int32), 0)
+    x_max = jnp.minimum(rec[:, bbox0 + 1].astype(jnp.int32), w - 1)
+    y_min = jnp.maximum(rec[:, bbox0 + 2].astype(jnp.int32), 0)
+    y_max = jnp.minimum(rec[:, bbox0 + 3].astype(jnp.int32), h - 1)
+    rec = rec.at[:, bbox0].set(x_min.astype(jnp.float32))
+    rec = rec.at[:, bbox0 + 1].set(x_max.astype(jnp.float32))
+    rec = rec.at[:, bbox0 + 2].set(y_min.astype(jnp.float32))
+    rec = rec.at[:, bbox0 + 3].set(y_max.astype(jnp.float32))
 
     # Bin replication: copy (cy, cx) of a triangle covers bin
     # (y_min//TH + cy, x_min//TW + cx) when that bin intersects its bbox.
@@ -306,6 +357,16 @@ def _prepare(rec, vertices, triangles, *, h, w, ry, rx):
     # Unused trailing chunks revisit the final bin as no-ops, keeping each
     # output block's revisit run consecutive.
     c2b = jnp.where(in_use, c2b, nbins - 1)
+    return rec, order_tri, starts, chunk_start, c2b, ccount, cd
+
+
+def _prepare(rec, vertices, triangles, *, h, w, ry, rx):
+    """Bin + order + chunk-align: records (T, REC_W) ->
+    (c2b (C,), ccount (C,), src0 (C,), rec_sorted (T*R+C, 128))."""
+    t = triangles.shape[0]
+    rcount = ry * rx
+    rec, order_tri, starts, chunk_start, c2b, ccount, cd = _bin_maps(
+        rec, t, h=h, w=w, ry=ry, rx=rx, bbox0=_BBOX0)
 
     # One row gather into bin-sorted order; the kernel DMAs CHUNK-row
     # windows out of it at per-chunk offsets (no chunk-aligned
@@ -318,6 +379,187 @@ def _prepare(rec, vertices, triangles, *, h, w, ry, rx):
     src0 = jnp.clip(starts[c2b] + (cd - chunk_start[c2b]) * CHUNK,
                     0, t * rcount)                           # (C,)
     return c2b, ccount, src0, rec_sorted
+
+
+def _prepare_compact(rec, t, *, h, w, ry, rx):
+    """Compact-record variant of :func:`_prepare`: (T, RECC_W) records ->
+    (c2b (C,), ccount (C,), rec_packed (C * CHUNK // PACK, 128)).
+
+    The sorted segments are re-materialized chunk-aligned with PACK = 8
+    records per 128-lane row — the per-chunk DMA then reads a STATIC
+    CHUNK // PACK-row window at c * CHUNK // PACK, and moves 8x fewer
+    bytes per record than the 128-lane-padded full records pay. The
+    re-materialization composes index maps (chunk source position ->
+    sorted copy -> triangle) so the only large data movement writes
+    RECC_W lanes per record."""
+    rcount = ry * rx
+    rec, order_tri, starts, chunk_start, c2b, ccount, cd = _bin_maps(
+        rec, t, h=h, w=w, ry=ry, rx=rx, bbox0=_CBBOX0)
+
+    # Chunk c's records are sorted positions src0[c] .. src0[c]+ccount[c];
+    # broadcast to a (C, CHUNK) source map, compose with order_tri, gather
+    # triangle rows, pack PACK records per 128-lane row. Rows past a
+    # segment tail read a clamped (junk) record — the kernel masks them
+    # via ccount.
+    src0 = jnp.clip(starts[c2b] + (cd - chunk_start[c2b]) * CHUNK,
+                    0, t * rcount - 1)
+    pos = jnp.clip(src0[:, None] + jnp.arange(CHUNK, dtype=jnp.int32)[None],
+                   0, t * rcount - 1)                        # (C, CHUNK)
+    tri = order_tri[pos.reshape(-1)].astype(jnp.int32)       # (C*CHUNK,)
+    rec_packed = rec[tri].reshape(-1, PACK * RECC_W)         # (C*CHUNK/8,128)
+    return c2b, ccount, rec_packed
+
+
+GR = 8                   # packed rows per VPU sub-batch: GR*PACK=64 records
+
+
+def _raster_kernel_compact(c2b_ref, cc_ref, rec_hbm, zbuf_ref, idbuf_ref,
+                           scratch, sem, *, nbx):
+    """Deferred-payload kernel: depth test + winning triangle id only.
+
+    Records are PACK-packed compact rows (see :func:`_prepare_compact`);
+    payload planes are evaluated AFTER the kernel, once per winning pixel
+    (:func:`_eval_deferred_payloads`) instead of per record x tile pixel.
+    Within a sub-batch the winner among equal depths is the min triangle
+    id — ids are strictly increasing in record order inside a bin (each
+    triangle appears at most once per bin and copies sort by (bin, tri)),
+    so min-id IS the first record: the reference's sequential
+    first-triangle-wins rule (rasterize_kernel.cpp:263-282), exactly the
+    contract of :func:`_raster_kernel`'s min-index one-hot."""
+    rows = CHUNK // PACK
+    c = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    b = c2b_ref[c]
+    prev = c2b_ref[jnp.maximum(c - 1, 0)]
+    first = jnp.logical_or(c == 0, b != prev)
+
+    # Chunk c's rows sit at a STATIC offset c*rows (chunk-aligned
+    # re-materialization) — no dynamic source map needed.
+    def start_dma(cc_idx, slot):
+        pltpu.make_async_copy(
+            rec_hbm.at[pl.ds(cc_idx * rows, rows)],
+            scratch.at[slot], sem.at[slot]).start()
+
+    @pl.when(jnp.logical_and(c == 0, cc_ref[0] > 0))
+    def _warmup():
+        start_dma(0, 0)
+
+    @pl.when(jnp.logical_and(c + 1 < nsteps, cc_ref[
+        jnp.minimum(c + 1, nsteps - 1)] > 0))
+    def _prefetch_next():
+        start_dma(c + 1, (c + 1) % 2)
+
+    @pl.when(first)
+    def _init():
+        zbuf_ref[:] = jnp.full((TH, TW), DEPTH_INIT, jnp.float32)
+        idbuf_ref[:] = jnp.zeros((TH, TW), jnp.float32)
+
+    count = cc_ref[c]
+
+    @pl.when(count > 0)
+    def _work():
+        slot = c % 2
+        pltpu.make_async_copy(rec_hbm.at[pl.ds(c * rows, rows)],
+                              scratch.at[slot], sem.at[slot]).wait()
+        rec_ref = scratch.at[slot]
+        by = (b // nbx).astype(jnp.float32)
+        bx = (b % nbx).astype(jnp.float32)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, TH * TW), 1)
+        pxf = bx * TW + (ids % TW).astype(jnp.float32)
+        pyf = by * TH + (ids // TW).astype(jnp.float32)
+        jio = jax.lax.broadcasted_iota(jnp.int32, (GR, 1), 0)
+        big = jnp.float32(3.0e38)
+
+        def body(g, carry):
+            zb, idb = carry
+            r = rec_ref[pl.ds(g * GR, GR), :]                # (GR, 128)
+            ds, ids_k = [], []
+            for k in range(PACK):
+                o = k * RECC_W
+
+                def plane(i, o=o):
+                    return (r[:, o + i:o + i + 1] * pxf
+                            + r[:, o + i + 1:o + i + 2] * pyf
+                            + r[:, o + i + 2:o + i + 3])
+
+                u = plane(0)
+                v = plane(3)
+                d = plane(6)
+                # Packed row j, lane group k = record j*PACK + k; rows past
+                # the segment tail are clamped junk — mask by count.
+                live = (g * (GR * PACK) + jio * PACK + k) < count
+                cov = (live & (u >= 0) & (v >= 0) & (u + v < 1)
+                       & (pxf >= r[:, o + _CBBOX0:o + _CBBOX0 + 1])
+                       & (pxf <= r[:, o + _CBBOX0 + 1:o + _CBBOX0 + 2])
+                       & (pyf >= r[:, o + _CBBOX0 + 2:o + _CBBOX0 + 3])
+                       & (pyf <= r[:, o + _CBBOX0 + 3:o + _CBBOX0 + 4]))
+                ds.append(jnp.where(cov, d, _NEVER))
+                ids_k.append(r[:, o + _CID:o + _CID + 1])
+
+            dm = ds[0]
+            for dk in ds[1:]:
+                dm = jnp.maximum(dm, dk)
+            bd = jnp.max(dm, axis=0, keepdims=True)          # (1, P)
+            wm = None
+            for dk, ik in zip(ds, ids_k):
+                cand = jnp.where(dk == bd, ik + jnp.zeros_like(dk), big)
+                wm = cand if wm is None else jnp.minimum(wm, cand)
+            wid = jnp.min(wm, axis=0, keepdims=True)         # (1, P)
+            upd = bd > zb
+            return jnp.where(upd, bd, zb), jnp.where(upd, wid, idb)
+
+        zb0 = zbuf_ref[:].reshape(1, TH * TW)
+        id0 = idbuf_ref[:].reshape(1, TH * TW)
+        zb, idb = jax.lax.fori_loop(0, pl.cdiv(count, GR * PACK), body,
+                                    (zb0, id0))
+        zbuf_ref[:] = zb.reshape(TH, TW)
+        idbuf_ref[:] = idb.reshape(TH, TW)
+
+
+def _launch_compact(c2b, ccount, rec_packed, *, h, w, interpret):
+    """pallas_call over chunk-aligned packed records -> (zbuf, tri_id,
+    drawn)."""
+    nby, nbx = -(-h // TH), -(-w // TW)
+    total_chunks_max = c2b.shape[0]
+    hpad, wpad = nby * TH, nbx * TW
+    tile_spec = pl.BlockSpec(
+        (TH, TW), lambda c, c2b, cc: (c2b[c] // nbx, c2b[c] % nbx),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(total_chunks_max,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # HBM-resident
+        out_specs=[tile_spec, tile_spec],
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK // PACK, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_raster_kernel_compact, nbx=nbx),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((hpad, wpad), jnp.float32)
+                   for _ in range(2)],
+        cost_estimate=pl.CostEstimate(
+            flops=18 * total_chunks_max * CHUNK * TH * TW,
+            bytes_accessed=total_chunks_max * CHUNK * RECC_W * 4
+            + 2 * hpad * wpad * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(c2b, ccount, rec_packed)
+    zbuf = outs[0][:h, :w]
+    drawn = zbuf > DEPTH_INIT
+    tri_id = jnp.where(drawn, outs[1][:h, :w].astype(jnp.int32), -1)
+    return zbuf, tri_id, drawn
+
+
+def _run_tiled_deferred(rec, planes, t, *, h, w, ry, rx, interpret):
+    c2b, ccount, rec_packed = _prepare_compact(rec, t, h=h, w=w,
+                                               ry=ry, rx=rx)
+    zbuf, tri_id, drawn = _launch_compact(c2b, ccount, rec_packed,
+                                          h=h, w=w, interpret=interpret)
+    return zbuf, _eval_deferred_payloads(tri_id, drawn, planes)
 
 
 def _launch(c2b, ccount, src0, rec_sorted, *, h, w, n_payload, interpret):
@@ -413,6 +655,42 @@ def _rasterize_color_auto(vertices, triangles, colors, *, h, w, ry, rx,
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "ry", "rx",
                                              "interpret"))
+def _rasterize_color_deferred(vertices, triangles, colors, *, h, w, ry, rx,
+                              interpret):
+    rec, planes = _plane_setup_compact(
+        vertices, triangles, [colors[:, 0], colors[:, 1], colors[:, 2]])
+    return _run_tiled_deferred(rec, planes, triangles.shape[0], h=h, w=w,
+                               ry=ry, rx=rx, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "ry", "rx",
+                                             "interpret"))
+def _rasterize_color_auto_deferred(vertices, triangles, colors, *, h, w,
+                                   ry, rx, interpret):
+    """Deferred-payload color rasterize with the data-dependent copy grid
+    of :func:`_rasterize_color_auto`."""
+    rec, planes = _plane_setup_compact(
+        vertices, triangles, [colors[:, 0], colors[:, 1], colors[:, 2]])
+    t = triangles.shape[0]
+    if (ry, rx) == (2, 2) or ry < 2:
+        return _run_tiled_deferred(rec, planes, t, h=h, w=w, ry=ry, rx=rx,
+                                   interpret=interpret)
+    ey = jnp.max(rec[:, _CBBOX0 + 3] - rec[:, _CBBOX0 + 2])
+    ex = jnp.max(rec[:, _CBBOX0 + 1] - rec[:, _CBBOX0])
+    small = (ey <= TH) & (ex <= TW)
+
+    def run(g):
+        def f(r):
+            return _run_tiled_deferred(r, planes, t, h=h, w=w,
+                                       ry=g[0], rx=g[1],
+                                       interpret=interpret)
+        return f
+
+    return jax.lax.cond(small, run((2, 2)), run((ry, rx)), rec)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "ry", "rx",
+                                             "interpret"))
 def _rasterize_visibility(vertices, triangles, *, h, w, ry, rx, interpret):
     t = triangles.shape[0]
     zeros = jnp.zeros((vertices.shape[0],), jnp.float32)
@@ -432,7 +710,8 @@ def rasterize_buffers_tiled(vertices: jnp.ndarray, triangles: jnp.ndarray,
                             colors: jnp.ndarray, *, h: int, w: int,
                             ry: int = 2, rx: int = 2,
                             interpret: bool = False,
-                            auto_replication: bool = False
+                            auto_replication: bool = False,
+                            deferred: bool = False
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in equivalent of :func:`raster.rasterize_buffers` on the tiled
     kernel: (depth (h, w) f32 init -1e8, color (h, w, 3)).
@@ -440,8 +719,26 @@ def rasterize_buffers_tiled(vertices: jnp.ndarray, triangles: jnp.ndarray,
     ``auto_replication``: treat (ry, rx) as the worst-case grid and drop
     to (2, 2) at runtime when every triangle bbox fits one bin span (see
     :func:`_rasterize_color_auto`).
+
+    ``deferred``: alternative formulation where the kernel resolves depth
+    + winning triangle id only and the color planes are evaluated once per
+    winning pixel after the kernel (8x less record DMA, ~2.5x fewer
+    per-record plane FMAs). Same output contract (winner choice is
+    bit-identical; color differs only in FMA regrouping of the identical
+    plane formula). Measured on the v5e chip it LOSES to the in-kernel
+    payload path at both scales — 14.1 vs 7.2 ms on the single 105K-tri
+    mesh @480x640 and 323 vs 287 ms raster-stage at 8 faces @720x1088
+    ((4, 2) grid): record DMA was never the bottleneck (double-buffered
+    behind compute), while the PACK-packed min-id merge adds VPU work per
+    sub-batch and the per-winner plane gather adds an HBM pass. Kept
+    off-default as a tested, documented negative result
+    (tests/test_raster_tiled.py::test_deferred_matches_inkernel_payloads).
     """
-    fn = _rasterize_color_auto if auto_replication else _rasterize_color
+    if deferred:
+        fn = (_rasterize_color_auto_deferred if auto_replication
+              else _rasterize_color_deferred)
+    else:
+        fn = _rasterize_color_auto if auto_replication else _rasterize_color
     zbuf, pay = fn(
         jnp.asarray(vertices, jnp.float32),
         jnp.asarray(triangles, jnp.int32),

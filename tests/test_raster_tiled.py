@@ -86,6 +86,39 @@ class TestTiledRasterize:
         # last ulp; those coverage flips are the only allowed mismatches.
         assert (diff > 1).mean() < 0.0025
 
+    @pytest.mark.parametrize("seed", [0, 11])
+    def test_deferred_matches_inkernel_payloads(self, seed):
+        """The deferred-payload path (z + winner id kernel, per-pixel plane
+        eval) must reproduce the in-kernel payload path: identical depth
+        buffer (same records, same merge rule) and matching colors up to
+        FMA regrouping of the same plane formula."""
+        rng = np.random.default_rng(seed)
+        verts, tris, colors = random_mesh(rng, nver=80, ntri=150)
+        ry, rx = replication_for(verts, tris)
+        zd, cd = rasterize_buffers_tiled(
+            jnp.asarray(verts), jnp.asarray(tris), jnp.asarray(colors),
+            h=32, w=32, ry=ry, rx=rx, interpret=True, deferred=True)
+        zk, ck = rasterize_buffers_tiled(
+            jnp.asarray(verts), jnp.asarray(tris), jnp.asarray(colors),
+            h=32, w=32, ry=ry, rx=rx, interpret=True, deferred=False)
+        np.testing.assert_array_equal(np.asarray(zd), np.asarray(zk))
+        np.testing.assert_allclose(np.asarray(cd), np.asarray(ck),
+                                   atol=1e-4)
+
+    def test_deferred_auto_replication_matches(self):
+        rng = np.random.default_rng(13)
+        verts, tris, colors = random_mesh(rng, nver=60, ntri=90, extent=20)
+        za, ca = rasterize_buffers_tiled(
+            jnp.asarray(verts), jnp.asarray(tris), jnp.asarray(colors),
+            h=32, w=32, ry=8, rx=2, interpret=True, deferred=True,
+            auto_replication=True)
+        zf, cf = rasterize_buffers_tiled(
+            jnp.asarray(verts), jnp.asarray(tris), jnp.asarray(colors),
+            h=32, w=32, ry=8, rx=2, interpret=True, deferred=True)
+        np.testing.assert_array_equal(np.asarray(za), np.asarray(zf))
+        np.testing.assert_allclose(np.asarray(ca), np.asarray(cf),
+                                   atol=1e-5)
+
     def test_first_triangle_wins_depth_ties(self):
         verts = np.asarray([
             [2, 2, 3.0], [26, 2, 3.0], [2, 26, 3.0],
