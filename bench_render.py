@@ -89,11 +89,19 @@ def main():
             zw, cw_ = rasterize_buffers(
                 jnp.asarray(verts), jnp.asarray(tris), jnp.asarray(cols),
                 h=h, w=w, win_h=wh, win_w=ww)
-            np.testing.assert_allclose(np.asarray(zt), np.asarray(zw),
-                                       rtol=1e-4, atol=1e-3)
-            np.testing.assert_allclose(np.asarray(ct), np.asarray(cw_),
-                                       rtol=1e-4, atol=1e-3)
-            print("# on-chip tiled-vs-window parity OK", flush=True)
+            # Same contract as tests/test_raster_tiled.py::
+            # test_matches_segment_reduce_buffers: the two paths regroup
+            # the barycentric arithmetic differently, so knife-edge pixels
+            # can flip coverage in the last ulp; everything else must agree.
+            zt_, zw_ = np.asarray(zt), np.asarray(zw)
+            same = np.isclose(zt_, zw_, atol=1e-3)
+            frac = float(same.mean())
+            assert frac > 0.999, f"on-chip z parity: only {frac:.5f} agree"
+            ok = same & (zt_ > -9e7)
+            np.testing.assert_allclose(np.asarray(ct)[ok],
+                                       np.asarray(cw_)[ok], atol=1e-3)
+            print(f"# on-chip tiled-vs-window parity OK "
+                  f"({(1 - frac) * 100:.4f}% knife-edge flips)", flush=True)
         from synergynet_tpu.render.normals import one_ring_table
         rings = one_ring_table(tris, verts.shape[0])
         program = pipe._program(h, w, (ry, rx), textured=False,

@@ -46,7 +46,7 @@ def main():
     # request-size limit (HTTP 413). The constants now ride as jit
     # arguments (pipeline/api.py pack_args), so the program is ~KBs and
     # the sweep extends until compute stops scaling.
-    for b in (1, 4, 8, 16, 32):
+    for b in (1, 4, 8, 16, 32, 64, 128):
         frames = rng.integers(0, 255, (b, ch, cw, 3)).astype(np.float32)
         s2d = np.stack([np.ascontiguousarray(space_to_depth(f))
                         for f in frames])
@@ -89,9 +89,17 @@ def main():
             float(loop(n, *largs))
             return time.perf_counter() - t0
 
-        t_small = min(run(N_SMALL) for _ in range(3))
-        t_large = min(run(N_LARGE) for _ in range(3))
-        per_dispatch = (t_large - t_small) / (N_LARGE - N_SMALL)
+        per_dispatch = -1.0
+        for _attempt in range(3):       # tunnel noise can invert the slope
+            t_small = min(run(N_SMALL) for _ in range(3))
+            t_large = min(run(N_LARGE) for _ in range(3))
+            per_dispatch = (t_large - t_small) / (N_LARGE - N_SMALL)
+            if per_dispatch > 0:
+                break
+        if per_dispatch <= 0:
+            print(json.dumps({"batch_frames": b,
+                              "error": "nonpositive slope"}), flush=True)
+            continue
         fps = b * FACES_PER_FRAME / per_dispatch
         results[b] = {"ms_per_dispatch": round(per_dispatch * 1000, 2),
                       "faces_per_sec": round(fps, 0)}
@@ -99,12 +107,32 @@ def main():
         if fps > best[0]:
             best = (fps, b)
 
+    # MFU at the best configuration from XLA's own cost model of the
+    # single-frame program (flops per frame; v5e bf16 peak 197 TFLOP/s).
+    extra = {"sweep": results}
+    try:
+        lowered = engine._program.lower(
+            api.variables, detector.variables, *engine.pack_args,
+            jnp.zeros((ch, cw, 3), jnp.float32),
+            jnp.zeros((ch // 4, cw // 4, 48), jnp.float32),
+            jnp.zeros((2,), jnp.int32))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_frame = float(cost.get("flops", 0.0))
+        frames_per_sec = best[0] / FACES_PER_FRAME
+        extra["flops_per_frame"] = flops_frame
+        extra["mfu_bf16_pct"] = round(
+            100.0 * flops_frame * frames_per_sec / 197e12, 3)
+    except Exception as e:
+        extra["mfu_error"] = type(e).__name__
     print(json.dumps({
         "metric": f"multi-stream faces/sec/chip (B={best[1]} frames x "
                   f"{FACES_PER_FRAME} faces, fused detect+regress+decode)",
         "value": round(best[0], 1),
         "unit": "faces/sec",
         "vs_baseline": round(best[0] / BASELINE_FPS, 3),
+        "extra": extra,
     }))
 
 
