@@ -39,9 +39,17 @@ def main():
     ap.add_argument("--small", type=int, default=3)
     ap.add_argument("--large", type=int, default=9)
     ap.add_argument("--stages", default="full,raster,prep,sort,kernel,light")
-    ap.add_argument("--deferred", type=int, default=1,
-                    help="1: deferred-payload compact-record kernel (the "
-                         "default path); 0: in-kernel payload oracle")
+    ap.add_argument("--repl", default=None,
+                    help="ry,rx bin-copy grid override (default "
+                         "DEFAULT_REPLICATION; the adaptive full path "
+                         "auto-drops to 2,2)")
+    ap.add_argument("--deferred", type=int, default=0,
+                    help="1: deferred-payload compact-record kernel "
+                         "(tested alternative); 0: in-kernel payloads "
+                         "(the default path)")
+    ap.add_argument("--per-face", type=int, default=1,
+                    help="1: per-face prep (_prepare_faces, the engine "
+                         "path at faces>1); 0: global sort+gather")
     args = ap.parse_args()
 
     import jax
@@ -70,7 +78,8 @@ def main():
     tris_all = (tris[None] + (np.arange(f, dtype=np.int32) * nver
                               )[:, None, None]).reshape(-1, 3)
     h, w = 720, 1088
-    ry, rx = DEFAULT_REPLICATION
+    ry, rx = (DEFAULT_REPLICATION if args.repl is None
+              else tuple(int(x) for x in args.repl.split(",")))
     rng = np.random.default_rng(0)
     offs = rng.uniform([60, 60], [w - 360, h - 360], (f, 2))
     verts = np.stack([
@@ -119,13 +128,15 @@ def main():
     flat = vj.reshape(-1, 3)
     colors = jnp.full((f * nver, 3), 0.5, jnp.float32)
 
+    prep_faces = f if args.per_face else 1
+
     if "raster" in want:
         def loop_raster(n, flat, tj_all, colors):
             def body(i, acc):
                 zb, col = rt.rasterize_buffers_tiled(
                     flat + i.astype(jnp.float32) * 1e-6, tj_all, colors,
                     h=h, w=w, ry=ry, rx=rx, interpret=interpret,
-                    deferred=deferred)
+                    deferred=deferred, faces=prep_faces)
                 return acc + zb[99, 99] + col[500, 500, 0]
             return lax.fori_loop(0, n, body, jnp.float32(0.0))
         results["raster"] = round(slope_ms(loop_raster, flat, tj_all,
@@ -138,8 +149,13 @@ def main():
                 rec = rt._plane_setup(flat + i.astype(jnp.float32) * 1e-6,
                                       tj_all, [colors[:, 0], colors[:, 1],
                                                colors[:, 2]])
-                c2b, cc, s0, rs = rt._prepare(rec, flat, tj_all,
-                                              h=h, w=w, ry=ry, rx=rx)
+                if prep_faces > 1:
+                    c2b, cc, s0, rs = rt._prepare_faces(
+                        rec, tj_all.shape[0], prep_faces,
+                        h=h, w=w, ry=ry, rx=rx)
+                else:
+                    c2b, cc, s0, rs = rt._prepare(rec, flat, tj_all,
+                                                  h=h, w=w, ry=ry, rx=rx)
                 return (acc + cc.sum().astype(jnp.float32)
                         + rs[123, 7] + s0[50].astype(jnp.float32))
             return lax.fori_loop(0, n, body, jnp.float32(0.0))
@@ -280,6 +296,7 @@ def main():
         print("# light", results["light"], flush=True)
 
     print(json.dumps({"faces": f, "canvas": [h, w], "deferred": deferred,
+                      "per_face": bool(args.per_face),
                       "replication": [ry, rx], "ms": results}))
 
 

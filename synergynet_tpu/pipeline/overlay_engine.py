@@ -74,7 +74,8 @@ def render_lit_faces(frame_u8: jnp.ndarray, verts: jnp.ndarray,
     zbuf, color = rasterize_buffers_tiled(
         verts.reshape(-1, 3), tris_all, light.reshape(-1, 3),
         h=h, w=w, ry=replication[0], rx=replication[1],
-        interpret=interpret, auto_replication=True)
+        interpret=interpret, auto_replication=True,
+        faces=int(verts.shape[0]))
     solid = blend_uint8(frame_u8, zbuf, color, 1.0)
     # cv2.addWeighted parity to float32 rounding (the host path in
     # render/overlay.py keeps the exact float64 round-half-away).

@@ -274,13 +274,12 @@ def _raster_kernel(c2b_ref, cc_ref, src0_ref, rec_hbm, *out_refs,
             pr[:] = pv.reshape(TH, TW)
 
 
-def _bin_maps(rec, t, *, h, w, ry, rx, bbox0):
-    """Shared binning core: clamp bboxes, replicate copies into bins, sort
-    by (bin, triangle), derive the per-bin segment and per-chunk maps.
-    Returns (rec_clamped, order_tri, starts, chunk_start, c2b, ccount)."""
+def _clamp_and_bins(rec, *, h, w, ry, rx, bbox0):
+    """Clamp record bboxes to the canvas and compute the bin id of every
+    replication copy. Returns (rec_clamped, bins (T*R,) int32 in
+    [0, nbins], parked copies at the nbins sentinel)."""
     nby, nbx = -(-h // TH), -(-w // TW)
     nbins = nby * nbx
-    rcount = ry * rx
 
     # Clamp the record bbox (computed once in _plane_setup from the same
     # vertex gathers) to the canvas — reference rasterize_kernel.cpp:244-252.
@@ -305,6 +304,17 @@ def _bin_maps(rec, t, *, h, w, ry, rx, bbox0):
     valid = ((bys <= by1[:, None, None]) & (bxs <= bx1[:, None, None])
              & ~empty[:, None, None])
     bins = jnp.where(valid, bys * nbx + bxs, nbins).reshape(-1)   # (T*R,)
+    return rec, bins
+
+
+def _bin_maps(rec, t, *, h, w, ry, rx, bbox0):
+    """Shared binning core: clamp bboxes, replicate copies into bins, sort
+    by (bin, triangle), derive the per-bin segment and per-chunk maps.
+    Returns (rec_clamped, order_tri, starts, chunk_start, c2b, ccount)."""
+    nby, nbx = -(-h // TH), -(-w // TW)
+    nbins = nby * nbx
+    rcount = ry * rx
+    rec, bins = _clamp_and_bins(rec, h=h, w=w, ry=ry, rx=rx, bbox0=bbox0)
 
     # Order copies by (bin, triangle). The per-bin order must be triangle
     # order — the depth-test tie-break relies on it. A triangle's R copies
@@ -377,6 +387,93 @@ def _prepare(rec, vertices, triangles, *, h, w, ry, rx):
     rec_sorted = jnp.pad(rec[order_tri.astype(jnp.int32)],
                          ((0, CHUNK), (0, 128 - REC_W)))     # (T*R+C, 128)
     src0 = jnp.clip(starts[c2b] + (cd - chunk_start[c2b]) * CHUNK,
+                    0, t * rcount)                           # (C,)
+    return c2b, ccount, src0, rec_sorted
+
+
+def _faces_fit_packed_sort(t, faces, *, h, w) -> bool:
+    """True when the per-face (bin << tri_bits) | tri packed sort key fits
+    int32 for ``t // faces`` triangles on this canvas."""
+    nbins = (-(-h // TH)) * (-(-w // TW))
+    t1 = t // faces
+    tri_bits = max(1, int(t1 - 1).bit_length())
+    return tri_bits + int(nbins).bit_length() <= 31
+
+
+def _prepare_faces(rec, t, faces, *, h, w, ry, rx):
+    """Multi-face variant of :func:`_prepare`: per-face bin sorts and
+    per-face bin-order gathers, chunk maps merged (bin, face)-major.
+
+    Why: the global formulation's single row gather reads a (T, REC_W)
+    table whose working set at 8 concatenated face meshes is ~100 MB. XLA
+    picks its gather strategy from the STATIC operand size, so throughput
+    collapses from ~700M rows/s (12 MB single-face table) to ~44M rows/s
+    — measured round 3, the gather alone cost more than the rest of the
+    frame (scripts/prof_overlay_stages.py; a face-partitioned index stream
+    over the same big table is just as slow, so runtime locality doesn't
+    help). Unrolled per-face gathers from static 1/F slices run ~6x
+    faster (241-272M rows/s measured).
+
+    The kernel is unchanged: chunks are ordered by (bin, face) pseudo-
+    segments — bin-major, so each output tile's chunk run stays
+    consecutive — and the existing per-chunk source-offset map simply
+    points into face-major sorted storage. Per-bin record order
+    (face asc, local tri asc) equals the global path's (global tri asc):
+    the output is bit-identical (tests/test_raster_tiled.py).
+    """
+    nby, nbx = -(-h // TH), -(-w // TW)
+    nbins = nby * nbx
+    rcount = ry * rx
+    t1 = t // faces
+    n1 = t1 * rcount
+    rec, bins = _clamp_and_bins(rec, h=h, w=w, ry=ry, rx=rx, bbox0=_BBOX0)
+    bins2 = bins.reshape(faces, n1)
+
+    # Per-face packed sort (same key construction as _bin_maps, one
+    # batched lax.sort over the face axis) + per-face segment starts.
+    tri_bits = max(1, int(t1 - 1).bit_length())
+    tri_of_copy = (jnp.arange(n1, dtype=jnp.int32) // jnp.int32(rcount))
+    packed = jax.lax.sort((bins2 << tri_bits) | tri_of_copy[None, :],
+                          dimension=1)
+    order_tri = packed & ((1 << tri_bits) - 1)               # (F, n1)
+    seg_queries = (jnp.arange(nbins + 1, dtype=jnp.int32) << tri_bits)
+    starts = jax.vmap(lambda k: jnp.searchsorted(
+        k, seg_queries, method="compare_all"))(packed).astype(jnp.int32)
+    counts = starts[:, 1:] - starts[:, :-1]                  # (F, nbins)
+
+    # The payoff: F gathers, each from a static (t1, REC_W) slice.
+    parts = [jax.lax.slice(rec, (f * t1, 0), ((f + 1) * t1, REC_W))[
+        order_tri[f]] for f in range(faces)]
+    rec_sorted = jnp.pad(jnp.concatenate(parts, axis=0),
+                         ((0, CHUNK), (0, 128 - REC_W)))     # (T*R+C, 128)
+
+    # Chunk maps over (bin, face) pseudo-segments. Segment s = b*F + f;
+    # every real bin keeps >= 1 chunk (its face-0 segment is bumped) so
+    # its output tile is initialized even when empty.
+    counts_bf = counts.T.reshape(-1)                         # (NBINS*F,)
+    nchunks = -(-counts_bf // CHUNK)
+    sidx = jnp.arange(nbins * faces, dtype=jnp.int32)
+    nchunks = jnp.where((sidx % faces == 0) & (nchunks == 0), 1, nchunks)
+    chunk_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nchunks).astype(jnp.int32)])
+
+    # sum ceil(c_i/CHUNK) + bin bumps <= total//CHUNK + nbins*faces.
+    total_chunks_max = t * rcount // CHUNK + nbins * faces + 1
+    cd = jnp.arange(total_chunks_max, dtype=jnp.int32)
+    c2s = jnp.clip(jnp.searchsorted(chunk_start, cd, side="right",
+                                    method="compare_all") - 1,
+                   0, nbins * faces - 1).astype(jnp.int32)
+    in_use = cd < chunk_start[-1]
+    ccount = jnp.where(
+        in_use,
+        jnp.clip(counts_bf[c2s] - (cd - chunk_start[c2s]) * CHUNK,
+                 0, CHUNK), 0).astype(jnp.int32)
+    # Unused trailing chunks revisit the final bin as no-ops.
+    c2b = jnp.where(in_use, c2s // faces, nbins - 1).astype(jnp.int32)
+    segf = c2s % faces
+    segb = c2s // faces
+    seg_start = starts.reshape(-1)[segf * (nbins + 1) + segb]
+    src0 = jnp.clip(segf * n1 + seg_start + (cd - chunk_start[c2s]) * CHUNK,
                     0, t * rcount)                           # (C,)
     return c2b, ccount, src0, rec_sorted
 
@@ -600,27 +697,32 @@ def _launch(c2b, ccount, src0, rec_sorted, *, h, w, n_payload, interpret):
 
 
 def _run_tiled(rec, vertices, triangles, *, h, w, ry, rx, n_payload,
-               interpret):
-    c2b, ccount, src0, rec_sorted = _prepare(rec, vertices, triangles,
-                                             h=h, w=w, ry=ry, rx=rx)
+               interpret, faces=1):
+    t = triangles.shape[0]
+    if faces > 1 and _faces_fit_packed_sort(t, faces, h=h, w=w):
+        c2b, ccount, src0, rec_sorted = _prepare_faces(
+            rec, t, faces, h=h, w=w, ry=ry, rx=rx)
+    else:
+        c2b, ccount, src0, rec_sorted = _prepare(rec, vertices, triangles,
+                                                 h=h, w=w, ry=ry, rx=rx)
     return _launch(c2b, ccount, src0, rec_sorted, h=h, w=w,
                    n_payload=n_payload, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "ry", "rx",
-                                             "interpret"))
+                                             "interpret", "faces"))
 def _rasterize_color(vertices, triangles, colors, *, h, w, ry, rx,
-                     interpret):
+                     interpret, faces=1):
     rec = _plane_setup(vertices, triangles,
                        [colors[:, 0], colors[:, 1], colors[:, 2]])
     return _run_tiled(rec, vertices, triangles, h=h, w=w, ry=ry, rx=rx,
-                      n_payload=3, interpret=interpret)
+                      n_payload=3, interpret=interpret, faces=faces)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "ry", "rx",
-                                             "interpret"))
+                                             "interpret", "faces"))
 def _rasterize_color_auto(vertices, triangles, colors, *, h, w, ry, rx,
-                          interpret):
+                          interpret, faces=1):
     """Color rasterize with a data-dependent copy grid.
 
     (ry, rx) must be sized for the worst case (canvas-wide rois -> ~18 px
@@ -636,7 +738,7 @@ def _rasterize_color_auto(vertices, triangles, colors, *, h, w, ry, rx,
                        [colors[:, 0], colors[:, 1], colors[:, 2]])
     if (ry, rx) == (2, 2) or ry < 2:
         return _run_tiled(rec, vertices, triangles, h=h, w=w, ry=ry, rx=rx,
-                          n_payload=3, interpret=interpret)
+                          n_payload=3, interpret=interpret, faces=faces)
     # Unclamped ceil/floor bbox extents: E <= TILE guarantees the bbox
     # touches at most 2 bins per axis even when it straddles a boundary.
     ey = jnp.max(rec[:, _BBOX0 + 3] - rec[:, _BBOX0 + 2])
@@ -647,7 +749,7 @@ def _rasterize_color_auto(vertices, triangles, colors, *, h, w, ry, rx,
         def f(r):
             return _run_tiled(r, vertices, triangles, h=h, w=w,
                               ry=g[0], rx=g[1], n_payload=3,
-                              interpret=interpret)
+                              interpret=interpret, faces=faces)
         return f
 
     return jax.lax.cond(small, run((2, 2)), run((ry, rx)), rec)
@@ -711,7 +813,8 @@ def rasterize_buffers_tiled(vertices: jnp.ndarray, triangles: jnp.ndarray,
                             ry: int = 2, rx: int = 2,
                             interpret: bool = False,
                             auto_replication: bool = False,
-                            deferred: bool = False
+                            deferred: bool = False,
+                            faces: int = 1
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in equivalent of :func:`raster.rasterize_buffers` on the tiled
     kernel: (depth (h, w) f32 init -1e8, color (h, w, 3)).
@@ -719,6 +822,12 @@ def rasterize_buffers_tiled(vertices: jnp.ndarray, triangles: jnp.ndarray,
     ``auto_replication``: treat (ry, rx) as the worst-case grid and drop
     to (2, 2) at runtime when every triangle bbox fits one bin span (see
     :func:`_rasterize_color_auto`).
+
+    ``faces``: the mesh is F stacked equal-topology sub-meshes (triangles
+    grouped face-major, ``T % faces == 0``) — prep runs per-face sorts and
+    per-face bin-order gathers (~6x faster at 8 concatenated face meshes;
+    see :func:`_prepare_faces`), output bit-identical. Ignored by the
+    deferred path.
 
     ``deferred``: alternative formulation where the kernel resolves depth
     + winning triangle id only and the color planes are evaluated once per
@@ -734,16 +843,21 @@ def rasterize_buffers_tiled(vertices: jnp.ndarray, triangles: jnp.ndarray,
     off-default as a tested, documented negative result
     (tests/test_raster_tiled.py::test_deferred_matches_inkernel_payloads).
     """
+    kw = {}
     if deferred:
         fn = (_rasterize_color_auto_deferred if auto_replication
               else _rasterize_color_deferred)
     else:
         fn = _rasterize_color_auto if auto_replication else _rasterize_color
+        if triangles.shape[0] % faces:
+            raise ValueError(
+                f"faces={faces} does not divide T={triangles.shape[0]}")
+        kw["faces"] = faces
     zbuf, pay = fn(
         jnp.asarray(vertices, jnp.float32),
         jnp.asarray(triangles, jnp.int32),
         jnp.asarray(colors, jnp.float32),
-        h=h, w=w, ry=ry, rx=rx, interpret=interpret)
+        h=h, w=w, ry=ry, rx=rx, interpret=interpret, **kw)
     return zbuf, jnp.moveaxis(pay, 0, -1)
 
 

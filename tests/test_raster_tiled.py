@@ -119,6 +119,41 @@ class TestTiledRasterize:
         np.testing.assert_allclose(np.asarray(ca), np.asarray(cf),
                                    atol=1e-5)
 
+    @pytest.mark.parametrize("auto", [False, True])
+    def test_multiface_prep_bit_identical(self, auto):
+        """faces=F (per-face sorts + per-face small-slice gathers,
+        _prepare_faces) must be BIT-identical to the global prep: the
+        (bin, face, tri) chunk order it feeds the unchanged kernel equals
+        the global path's (bin, global-tri) order."""
+        rng = np.random.default_rng(21)
+        F, T1, V1 = 4, 120, 50
+        h, w = 96, 200
+        tris = rng.integers(0, V1, (T1, 3)).astype(np.int32)
+        verts, cols = [], []
+        for _ in range(F):
+            off = rng.uniform([0, 0, 0], [w - 40, h - 40, 5])
+            verts.append(rng.uniform(0, 40, (V1, 3)) + off)
+            cols.append(rng.uniform(0, 1, (V1, 3)))
+        verts = np.concatenate(verts).astype(np.float32)
+        cols = np.concatenate(cols).astype(np.float32)
+        tris_all = (tris[None] + (np.arange(F, dtype=np.int32) * V1
+                                  )[:, None, None]).reshape(-1, 3)
+        kw = dict(h=h, w=w, ry=4, rx=2, interpret=True,
+                  auto_replication=auto)
+        za, ca = rasterize_buffers_tiled(verts, tris_all, cols, **kw)
+        zf, cf = rasterize_buffers_tiled(verts, tris_all, cols,
+                                         faces=F, **kw)
+        np.testing.assert_array_equal(np.asarray(za), np.asarray(zf))
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cf))
+        assert (np.asarray(za) > DEPTH_INIT).any()
+
+    def test_multiface_faces_must_divide(self):
+        verts = np.zeros((6, 3), np.float32)
+        tris = np.asarray([[0, 1, 2], [3, 4, 5], [0, 2, 4]], np.int32)
+        with pytest.raises(ValueError, match="does not divide"):
+            rasterize_buffers_tiled(verts, tris, np.zeros((6, 3)),
+                                    h=16, w=16, interpret=True, faces=2)
+
     def test_first_triangle_wins_depth_ties(self):
         verts = np.asarray([
             [2, 2, 3.0], [26, 2, 3.0], [2, 26, 3.0],

@@ -247,13 +247,16 @@ class TestAccumSteps:
         # noise: BatchNorm *scale* gradients sum zero-mean x_hat*dy terms,
         # so reduction-order changes move them by up to ~5e-2 absolute
         # (jit-vs-nonjit of the IDENTICAL unrolled code shows 20-48x
-        # relative diffs on the same leaves). The scan mechanism itself is
-        # bit-exact — test_accum_scan_mechanism_exact_f64 proves it at
-        # float64 where cancellation noise vanishes.
+        # relative diffs on the same leaves; the magnitude also shifts
+        # with XLA:CPU thread scheduling, so full-suite runs see more
+        # than a solo run — atol must cover the documented 5e-2). The
+        # scan mechanism itself is bit-exact —
+        # test_accum_scan_mechanism_exact_f64 proves it at float64 where
+        # cancellation noise vanishes.
         np.testing.assert_allclose(float(metrics["loss_total"]),
                                    float((t1 + t2) / 2), rtol=1e-5)
         jax.tree.map(lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-2),
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=6e-2),
             new_state.params, want_params)
         jax.tree.map(lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
