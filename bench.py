@@ -21,6 +21,11 @@ the frame so no two are identical) and reduces all outputs to a scalar
 checksum whose host fetch forces completion. Per-iteration time is the
 slope between two trip counts, cancelling dispatch/fetch overhead.
 
+Two configurations are measured — one frame per dispatch and BATCH frames
+per dispatch (the vmapped multi-stream program, which the round-3 sweep
+showed keeps scaling to B=128) — and the better faces/sec is the headline;
+both appear under "extra".
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -32,6 +37,13 @@ import numpy as np
 BASELINE_FPS = 3000.0   # reference README.md:31 (RTX 2080, alignment only)
 FACES_PER_FRAME = 8
 N_SMALL, N_LARGE = 10, 50
+# Multi-stream serving: the same fused program vmapped over BATCH frames
+# per dispatch (pipeline/api.py::_fused_batch_program). Round-3 sweep
+# (bench_serving.py / BENCH_SERVING.json): throughput keeps rising to
+# B=128 (30.7K faces/s vs ~15-18K at B=1), so the headline reports the
+# better of the two; both appear in "extra".
+BATCH = 128
+NB_SMALL, NB_LARGE = 4, 16
 
 
 def main():
@@ -91,15 +103,72 @@ def main():
         slopes.append((t_large - t_small) / (N_LARGE - N_SMALL))
     fps_all = sorted(FACES_PER_FRAME / s for s in slopes)
     fps = fps_all[len(fps_all) // 2]
+
+    # Multi-stream stage: B frames per dispatch through the vmapped fused
+    # program. The batch is materialized ON DEVICE from the single
+    # uploaded frame (the tunnel uploads at ~37 MB/s; a 1.2 GB f32 batch
+    # would cost ~30 s host->device).
+    fps_batch, batch_err = 0.0, None
+    try:
+        from synergynet_tpu.pipeline.api import _fused_batch_program
+        bprog = _fused_batch_program(engine)
+
+        @jax.jit
+        def make_batch(frame, frame_s2d, true_hw):
+            d = jnp.arange(BATCH, dtype=jnp.float32)[:, None, None, None] * 0.1
+            return (frame[None] + d, frame_s2d[None] + d,
+                    jnp.tile(true_hw[None], (BATCH, 1)))
+
+        fb, sb, hb = make_batch(frame, frame_s2d, true_hw)
+
+        @jax.jit
+        def bench_loop_b(variables, det_vars, pack, basis_w, basis_u,
+                         anchors, fb, sb, hb, n_iters):
+            def body(i, acc):
+                c = i.astype(jnp.float32) * 1e-3
+                outs = bprog(variables, det_vars, pack, basis_w, basis_u,
+                             anchors, fb + c, sb + c, hb)
+                scores, n_faces, rois, p62, lmk, dense, angles, t3d = outs
+                return (acc + jnp.sum(lmk * lmk) * 1e-6
+                        + jnp.sum(dense * dense) * 1e-9
+                        + jnp.sum(angles) + jnp.sum(scores))
+            return lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+
+        bargs = (api.variables, detector.variables, *engine.pack_args,
+                 fb, sb, hb)
+        float(bench_loop_b(*bargs, 1))                    # compile + warmup
+
+        def run_b(n):
+            t0 = time.perf_counter()
+            float(bench_loop_b(*bargs, n))
+            return time.perf_counter() - t0
+
+        bslopes = []
+        for _ in range(3):
+            t_s = min(run_b(NB_SMALL) for _ in range(2))
+            t_l = min(run_b(NB_LARGE) for _ in range(2))
+            bslopes.append((t_l - t_s) / (NB_LARGE - NB_SMALL))
+        fps_b_all = sorted(BATCH * FACES_PER_FRAME / s for s in bslopes)
+        fps_batch = fps_b_all[len(fps_b_all) // 2]
+    except Exception as e:                                # pragma: no cover
+        batch_err = f"{type(e).__name__}: {e}"[:200]
+
+    best = max(fps, fps_batch)
+    best_b = 1 if fps >= fps_batch else BATCH
     print(json.dumps({
         "metric": "faces/sec/chip end-to-end (detect + crop + regress + "
-                  "68-lmk + dense-mesh + pose, 8 faces/frame @720x1088)",
-        "value": round(fps, 1),
+                  "68-lmk + dense-mesh + pose, 8 faces/frame @720x1088, "
+                  "best dispatch batch)",
+        "value": round(best, 1),
         "unit": "faces/sec",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "extra": {"fps_min": round(fps_all[0], 1),
-                  "fps_max": round(fps_all[-1], 1),
-                  "n_slope_estimates": len(fps_all)},
+        "vs_baseline": round(best / BASELINE_FPS, 3),
+        "extra": {"fps_b1": round(fps, 1),
+                  "fps_b1_min": round(fps_all[0], 1),
+                  "fps_b1_max": round(fps_all[-1], 1),
+                  "n_slope_estimates": len(fps_all),
+                  "fps_batched": round(fps_batch, 1),
+                  "dispatch_batch": best_b,
+                  "batch_error": batch_err},
     }))
 
 
