@@ -186,22 +186,11 @@ def main():
         tri_bits = max(1, int(t - 1).bit_length())
 
         def binpack_sort(rec):
-            x_min = jnp.maximum(rec[:, rt._BBOX0].astype(jnp.int32), 0)
-            x_max = jnp.minimum(rec[:, rt._BBOX0 + 1].astype(jnp.int32),
-                                w - 1)
-            y_min = jnp.maximum(rec[:, rt._BBOX0 + 2].astype(jnp.int32), 0)
-            y_max = jnp.minimum(rec[:, rt._BBOX0 + 3].astype(jnp.int32),
-                                h - 1)
-            empty = (x_max < x_min) | (y_max < y_min)
-            by0, bx0 = y_min // rt.TH, x_min // rt.TW
-            cy = jnp.arange(ry, dtype=jnp.int32)[None, :, None]
-            cx = jnp.arange(rx, dtype=jnp.int32)[None, None, :]
-            bys = by0[:, None, None] + cy
-            bxs = bx0[:, None, None] + cx
-            valid = ((bys <= (y_max // rt.TH)[:, None, None])
-                     & (bxs <= (x_max // rt.TW)[:, None, None])
-                     & ~empty[:, None, None])
-            bins = jnp.where(valid, bys * nbx + bxs, nbins).reshape(-1)
+            # The PRODUCTION binning (raster_tiled._clamp_and_bins) + the
+            # same packed-key construction as _bin_maps — measured, not
+            # re-implemented, so kernel-side changes stay profiled.
+            _, bins = rt._clamp_and_bins(rec, h=h, w=w, ry=ry, rx=rx,
+                                         bbox0=rt._BBOX0)
             tri_of_copy = (jnp.arange(t * ry * rx, dtype=jnp.int32)
                            // jnp.int32(ry * rx))
             return jax.lax.sort((bins << tri_bits) | tri_of_copy)

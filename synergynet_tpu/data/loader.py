@@ -50,9 +50,16 @@ class PrefetchLoader:
             // self.process_count
 
     def __len__(self) -> int:
+        if self.drop_last:
+            # Process-AGREED count: every rank must run the same number of
+            # steps or the cross-process collectives in the sharded train
+            # step deadlock (and LR schedules diverge). The strided shard
+            # of rank p holds ceil((n-p)/P) rows — the minimum over ranks
+            # is floor(n/P), so every rank steps to that bound.
+            return (len(self.dataset) // self.process_count) \
+                // self.batch_size
         n = self._num_local()
-        return n // self.batch_size if self.drop_last else \
-            (n + self.batch_size - 1) // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch

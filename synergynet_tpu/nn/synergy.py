@@ -100,7 +100,10 @@ def init_synergy_variables(model: SynergyNet, rng: jax.Array,
         variables = model.init(rng, x, train=False,
                                method=SynergyNet.init_all)
     if on_cpu:
-        variables = jax.device_put(variables, jax.devices()[0])
+        # local_devices, not devices: under multi-process SPMD the global
+        # list leads with process 0's devices, which are non-addressable
+        # from other ranks and device_put would raise there.
+        variables = jax.device_put(variables, jax.local_devices()[0])
     return variables
 
 

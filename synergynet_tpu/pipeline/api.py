@@ -93,11 +93,24 @@ class SynergyNet3DMM:
         # upload per compile on a remote-compile link, and request-size
         # caps at large batch). See mm3d.assets.device_pack.
         self._use_fused = jax.default_backend() == "tpu"
-        self._pack_dev = device_pack(self.pack)
         if self._use_fused:
             b = get_decode_basis(self.pack)
             self._basis_w, self._basis_u, self._basis_nver = b.w, b.u, b.nver
+            # The fused program reads the dense basis ONLY through
+            # basis_w/basis_u (the Pallas-tiled relayout above); the pack's
+            # own u/w_shp/w_exp leaves would be a duplicate ~50 MB HBM
+            # upload (~1.3 s on the 37 MB/s tunnel) held for the engine's
+            # life. Ship zero-row placeholders instead — every jitted
+            # consumer of the pack (dewhiten, sparse *_base decode, crop
+            # rescale) touches other leaves.
+            import numpy as _np
+            slim = self.pack._replace(
+                u=_np.zeros((0, 1), _np.float32),
+                w_shp=_np.zeros((0, self.pack.w_shp.shape[1]), _np.float32),
+                w_exp=_np.zeros((0, self.pack.w_exp.shape[1]), _np.float32))
+            self._pack_dev = device_pack(slim)
         else:   # unused dummy args keep one program signature per backend
+            self._pack_dev = device_pack(self.pack)
             self._basis_w = jnp.zeros((3, 128, 50), jnp.float32)
             self._basis_u = jnp.zeros((3, 128), jnp.float32)
             self._basis_nver = 128

@@ -40,7 +40,7 @@ from synergynet_tpu.train.step import make_train_step
 
 def make_epoch_program(model, pack: ParamPack, optimizer, mesh,
                        batch_size: int, augment: Optional[Callable] = None,
-                       bn_groups: int = 1):
+                       bn_groups: int = 1, accum_steps: int = 1):
     """Compile ``epoch(state, images, params62, key) -> (state, metrics)``.
 
     ``images``: (D, n_local, H, W, C) uint8, sharded ``P('data')``;
@@ -49,7 +49,7 @@ def make_epoch_program(model, pack: ParamPack, optimizer, mesh,
     D is the mesh's data-axis size and B must divide D * n_local.
     """
     step = make_train_step(model, pack, optimizer, augment=augment,
-                           bn_groups=bn_groups)
+                           bn_groups=bn_groups, accum_steps=accum_steps)
     d = mesh.shape[meshlib.DATA_AXIS]
     if batch_size % d:
         raise ValueError(f"batch {batch_size} not divisible by data={d}")
@@ -132,7 +132,8 @@ def fit_resident(trainer, images: np.ndarray, params62: np.ndarray,
     epoch_fn = make_epoch_program(trainer.model, trainer.pack,
                                   trainer.optimizer, trainer.mesh,
                                   t.batch_size, augment=trainer.augment,
-                                  bn_groups=getattr(trainer, "bn_groups", 1))
+                                  bn_groups=getattr(trainer, "bn_groups", 1),
+                                  accum_steps=t.accum_steps)
     g_imgs, g_tgts, hwc = shard_resident_arrays(trainer.mesh, images,
                                                 params62)
     key = jax.random.PRNGKey(t.seed)

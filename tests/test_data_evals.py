@@ -163,6 +163,25 @@ class TestMultiHostSharding:
         uniq = np.unique(stacked, axis=0)
         assert len(uniq) == 40
 
+    def test_ragged_shard_agreed_length(self):
+        """Every rank must report the SAME per-epoch step count even when
+        the dataset doesn't divide evenly across processes — a rank with
+        one extra local batch would dispatch a cross-process collective
+        the others never join (deadlock), and LR schedules would diverge.
+        n=31, P=2, bs=8: rank 0 holds 16 rows, rank 1 holds 15 — both
+        must run floor(floor(31/2)/8) = 1 step."""
+        rng = np.random.default_rng(1)
+        ds = ArrayDataset(rng.integers(0, 255, (31, 4, 4, 3), np.uint8),
+                          rng.normal(0, 1, (31, 62)).astype(np.float32))
+        lens = []
+        for pi in range(2):
+            loader = PrefetchLoader(ds, batch_size=8, shuffle=True, seed=3,
+                                    num_workers=1, process_index=pi,
+                                    process_count=2)
+            lens.append(len(loader))
+            assert sum(1 for _ in loader) == len(loader)
+        assert lens == [1, 1]
+
 
 class TestDeviceAugment:
     def test_matches_host_ops_statistically(self):

@@ -498,6 +498,33 @@ class TestDeviceResident:
         assert int(jax.device_get(state.step)) == 8
         assert losses[1] < losses[0]
 
+    def test_epoch_program_accum_steps_plumbed(self, small_pack):
+        """accum_steps reaches the per-step scan inside the epoch program
+        (it was silently dropped once: the --resident CLI advertised
+        --accum-steps but make_epoch_program never received it)."""
+        import optax
+        from synergynet_tpu.core import make_mesh, replicate
+        from synergynet_tpu.nn import SynergyNet
+        from synergynet_tpu.train import (create_train_state,
+                                          make_epoch_program,
+                                          shard_resident_arrays)
+        mesh = make_mesh()                              # 8x1
+        model = SynergyNet(arch="mobilenet_v2_0.5")
+        opt = optax.sgd(1e-3)
+        state = create_train_state(model, jax.random.PRNGKey(0), opt)
+        state = replicate(mesh, state)
+        rng = np.random.default_rng(0)
+        n, b = 32, 16
+        images = rng.integers(0, 255, (n, 120, 120, 3)).astype(np.uint8)
+        params = rng.normal(0, 0.4, (n, 62)).astype(np.float32)
+        g_imgs, g_tgts, hwc = shard_resident_arrays(mesh, images, params)
+        epoch_fn = make_epoch_program(model, small_pack, opt, mesh, b,
+                                      accum_steps=2)
+        state, metrics = epoch_fn(state, g_imgs, g_tgts,
+                                  jax.random.PRNGKey(1), hwc)
+        assert np.isfinite(float(metrics["loss_total"]))
+        assert int(jax.device_get(state.step)) == 2    # 2 steps, not 4
+
     def test_batch_must_divide_data_axis(self, small_pack):
         import optax
         from synergynet_tpu.core import make_mesh
