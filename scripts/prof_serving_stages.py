@@ -38,7 +38,8 @@ def main():
     ap.add_argument("--small", type=int, default=4)
     ap.add_argument("--large", type=int, default=16)
     ap.add_argument("--stages",
-                    default="detnet,detpost,crop,backbone,decode,full")
+                    default="detnet,detpost,crop,crophyb,backbone,decode,"
+                            "full,fullhyb")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
     want = set(args.stages.split(","))
@@ -61,7 +62,8 @@ def main():
         rescale_pose_to_roi
     from synergynet_tpu.pipeline import FusedFrameEngine, SynergyNet3DMM
     from synergynet_tpu.pipeline.api import _fused_batch_program
-    from synergynet_tpu.pipeline.device_crop import (crop_resize_matmul,
+    from synergynet_tpu.pipeline.device_crop import (crop_resize_hybrid,
+                                                     crop_resize_matmul,
                                                      square_rois)
 
     detector = FaceBoxes(dtype=jnp.bfloat16)
@@ -165,6 +167,17 @@ def main():
         results["crop"] = round(slope_ms(loop_crop, fb, rois_b), 3)
         print("# crop", results["crop"], flush=True)
 
+    if "crophyb" in want:
+        @jax.jit
+        def loop_crop_h(n, fb, rois_b):
+            def body(i, acc):
+                c = i.astype(jnp.float32) * 1e-3
+                crops = jax.vmap(crop_resize_hybrid)(fb + c, rois_b)
+                return acc + jnp.sum(crops) * 1e-9
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+        results["crophyb"] = round(slope_ms(loop_crop_h, fb, rois_b), 3)
+        print("# crophyb", results["crophyb"], flush=True)
+
     crops_np = rng.integers(0, 255, (b * FACES, 120, 120, 3)
                             ).astype(np.float32)
     crops_b = jnp.asarray(crops_np)
@@ -222,6 +235,27 @@ def main():
             slope_ms(loop_full, fb, sb, hb, api.variables,
                      detector.variables, *engine.pack_args), 3)
         print("# full", results["full"], flush=True)
+
+    if "fullhyb" in want:
+        eng_h = FusedFrameEngine(api, detector=detector, max_faces=FACES,
+                                 crop_mode="hybrid")
+        prog_h = _fused_batch_program(eng_h)
+
+        @jax.jit
+        def loop_full_h(n, fb, sb, hb, variables, det_vars, pack, bw, bu,
+                        anchors):
+            def body(i, acc):
+                c = i.astype(jnp.float32) * 1e-3
+                outs = prog_h(variables, det_vars, pack, bw, bu, anchors,
+                              fb + c, sb + c, hb)
+                scores, n_faces, rois, p62, lmk, dense, angles, t3d = outs
+                return (acc + jnp.sum(lmk * lmk) * 1e-6
+                        + jnp.sum(dense * dense) * 1e-9 + jnp.sum(angles))
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+        results["fullhyb"] = round(
+            slope_ms(loop_full_h, fb, sb, hb, api.variables,
+                     detector.variables, *eng_h.pack_args), 3)
+        print("# fullhyb", results["fullhyb"], flush=True)
 
     ms_frame = {k: round(v / b, 4) for k, v in results.items()}
     print(json.dumps({"batch": b, "faces_per_frame": FACES,

@@ -11,7 +11,8 @@ from synergynet_tpu.pipeline.draw import (  # noqa: F401
     draw_landmarks, draw_axis, viz_bbox,
 )
 from synergynet_tpu.pipeline.device_crop import (  # noqa: F401
-    crop_resize_bilinear, crop_resize_matmul, square_rois,
+    crop_resize_bilinear, crop_resize_matmul, crop_resize_hybrid,
+    square_rois,
 )
 from synergynet_tpu.pipeline.api import FusedFrameEngine  # noqa: F401
 from synergynet_tpu.pipeline.overlay_engine import (  # noqa: F401

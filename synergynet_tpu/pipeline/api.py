@@ -207,12 +207,15 @@ class FusedFrameEngine:
     """
 
     def __init__(self, api: "SynergyNet3DMM", detector=None,
-                 max_faces: int = 8):
+                 max_faces: int = 8, crop_mode: str = "matmul"):
         from synergynet_tpu.detect import FaceBoxes
         self.api = api
         self.detector = detector or FaceBoxes()
         if not self.detector.stem_s2d:
             raise ValueError("FusedFrameEngine requires an s2d detector")
+        if crop_mode not in ("matmul", "hybrid"):
+            raise ValueError(f"crop_mode {crop_mode!r}")
+        self.crop_mode = crop_mode
         self.max_faces = max_faces
         # jit-argument constants: 3DMM pack + dense basis + anchors (see
         # SynergyNet3DMM — keeping them out of the program shrinks the HLO
@@ -237,8 +240,11 @@ class FusedFrameEngine:
                                                     NMS_THRESHOLD, NMS_TOP_K,
                                                     VIS_THRESHOLD)
         from synergynet_tpu.detect.nms import greedy_nms_mask
-        from synergynet_tpu.pipeline.device_crop import (crop_resize_matmul,
+        from synergynet_tpu.pipeline.device_crop import (crop_resize_hybrid,
+                                                         crop_resize_matmul,
                                                          square_rois)
+        crop_fn = (crop_resize_hybrid if self.crop_mode == "hybrid"
+                   else crop_resize_matmul)
         api, det = self.api, self.detector
         f_max = self.max_faces
         ch, cw = CANVAS
@@ -271,7 +277,7 @@ class FusedFrameEngine:
             n_faces = jnp.sum(face_scores > 0)
 
             rois = square_rois(face_boxes)
-            crops = crop_resize_matmul(frame, rois)
+            crops = crop_fn(frame, rois)
             xn = (crops - 127.5) / 128.0
             param62, _ = model.apply(variables, xn, train=False)
             param62 = param62.astype(jnp.float32)

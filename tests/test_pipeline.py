@@ -145,6 +145,31 @@ class TestDeviceCrop:
                               interpolation=cv2.INTER_LINEAR)
             assert np.abs(got[i] - want).max() < 1.0, roi
 
+    def test_hybrid_matches_matmul_and_cv2(self):
+        """crop_resize_hybrid (row gather + lerp, column matmul) must
+        reproduce crop_resize_matmul's output to float32 rounding and stay
+        within the same <1 LSB envelope vs the host cv2 chain."""
+        import cv2
+        import jax.numpy as jnp
+        from synergynet_tpu.pipeline import (crop_resize_hybrid,
+                                             crop_resize_matmul)
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, (300, 400, 3), np.uint8)
+        rois = [[40., 30., 200., 190.],
+                [-20., -10., 140., 150.],   # zero pad
+                [10., 10., 70., 70.],       # upscale
+                [40.2, 30.7, 199.6, 190.49],
+                [250., 180., 460., 390.]]   # runs off bottom-right
+        imj = jnp.asarray(img, jnp.float32)
+        rj = jnp.asarray(rois)
+        got_h = np.asarray(crop_resize_hybrid(imj, rj))
+        got_m = np.asarray(crop_resize_matmul(imj, rj))
+        np.testing.assert_allclose(got_h, got_m, atol=1e-3)
+        for i, roi in enumerate(rois):
+            want = cv2.resize(crop_img(img, roi), (120, 120),
+                              interpolation=cv2.INTER_LINEAR)
+            assert np.abs(got_h[i] - want).max() < 1.0, roi
+
     def test_square_rois_matches_host(self):
         import jax.numpy as jnp
         from synergynet_tpu.pipeline import square_rois
