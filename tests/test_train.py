@@ -243,21 +243,37 @@ class TestAccumSteps:
         want_params = optax.apply_updates(state.params, upd)
 
         # scan body vs unrolled microbatches regroup the f32 reductions.
-        # Loss and BN stats are tight; the param atol is the measured f32
-        # noise: BatchNorm *scale* gradients sum zero-mean x_hat*dy terms,
-        # so reduction-order changes move them by up to ~5e-2 absolute
-        # (jit-vs-nonjit of the IDENTICAL unrolled code shows 20-48x
-        # relative diffs on the same leaves; the magnitude also shifts
-        # with XLA:CPU thread scheduling, so full-suite runs see more
-        # than a solo run — atol must cover the documented 5e-2). The
-        # scan mechanism itself is bit-exact —
-        # test_accum_scan_mechanism_exact_f64 proves it at float64 where
-        # cancellation noise vanishes.
+        # Loss and BN stats are tight. The params are compared by GLOBAL
+        # update-relative L2, not elementwise atol: at random init the
+        # wing-loss gradients are large (update norm ~5.9 at lr 0.01) and
+        # BatchNorm-scale gradients sum zero-mean x_hat*dy terms, so
+        # XLA:CPU reduction-order changes move single elements by ~2e-3
+        # solo and >30x that when the threadpool is loaded (full-suite
+        # runs have failed atol=6e-2 that solo runs pass at 3% of
+        # tolerance). The global ratio ||p_scan - p_manual|| /
+        # ||p_manual - p_old|| is scale-free and washes out elementwise
+        # cancellation spikes: measured 0.0037 solo, while a structural
+        # bug is O(1) (grad sum instead of mean -> ~0.5, wrong dropout
+        # key -> ~1.4), so 0.1 separates noise from bugs by an order of
+        # magnitude in both directions. The scan mechanism itself is
+        # bit-exact — test_accum_scan_mechanism_exact_f64 proves it at
+        # float64 where cancellation noise vanishes.
         np.testing.assert_allclose(float(metrics["loss_total"]),
                                    float((t1 + t2) / 2), rtol=1e-5)
-        jax.tree.map(lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-3, atol=6e-2),
-            new_state.params, want_params)
+        num, den = 0.0, 0.0
+        for got, want, old in zip(jax.tree.leaves(new_state.params),
+                                  jax.tree.leaves(want_params),
+                                  jax.tree.leaves(state.params)):
+            got = np.asarray(got, np.float64)
+            want = np.asarray(want, np.float64)
+            old = np.asarray(old, np.float64)
+            num += float(((got - want) ** 2).sum())
+            den += float(((want - old) ** 2).sum())
+        rel = (num ** 0.5) / (den ** 0.5)
+        assert rel < 0.1, (
+            f"scan-accum params diverge from sequential microbatches: "
+            f"update-relative L2 {rel:.4f} (noise floor ~0.004, "
+            f"structural bugs >=0.5)")
         jax.tree.map(lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
             new_state.batch_stats, stats2)
