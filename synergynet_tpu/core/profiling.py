@@ -16,6 +16,7 @@ main_train.py:107-153). Here profiling is a first-class module:
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Any, Callable, Dict, Optional
 
@@ -106,13 +107,51 @@ def device_memory_stats(device: Optional[jax.Device] = None
     return dict(stats) if stats else {}
 
 
+def cache_fingerprint(xla_flags: str = None) -> str:
+    """Short hash of everything that silently invalidates persistent-cache
+    entries without changing their cache key: the XLA flags the process runs
+    under, the platform selection, the host CPU's feature flags, and the jax
+    version.
+
+    XLA:CPU AOT executables embed target-machine features chosen at compile
+    time (including plugin-injected pseudo-features like
+    ``+prefer-no-scatter``); loading an entry written under different flags
+    or on a different host logs ``cpu_aot_loader`` feature-mismatch errors
+    and can SIGILL or change reduction codegen (observed: a TPU-tunnel
+    process's host-side entries poisoning the CPU test suite's cache).
+    Suffixing every cache dir with this fingerprint keeps incompatible
+    writers in separate directories.
+    """
+    import hashlib
+    import platform as _platform
+
+    flags = (os.environ.get("XLA_FLAGS", "") if xla_flags is None
+             else xla_flags)
+    cpu = _platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    cpu = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    key = "|".join([jax.__version__, os.environ.get("JAX_PLATFORMS", ""),
+                    flags, cpu])
+    return hashlib.sha1(key.encode()).hexdigest()[:10]
+
+
 def enable_compile_cache(path: str = "/tmp/synergy_jax_cache",
                          min_compile_secs: float = 2.0) -> None:
     """Enable JAX's persistent compilation cache (first compiles of the big
     jitted programs take minutes on some backends; cached reloads are
-    seconds). Call early, before the first jit dispatch."""
+    seconds). Call early, before the first jit dispatch.
+
+    ``path`` is suffixed with :func:`cache_fingerprint` so processes running
+    under different XLA flags / platforms / hosts never share entries."""
     try:
-        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_compilation_cache_dir",
+                          f"{path}-{cache_fingerprint()}")
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           min_compile_secs)
     except Exception:

@@ -20,9 +20,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: full-model train-step compiles on CPU take
-# minutes; cache them across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/synergy_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# minutes; cache them across test runs. The dir is fingerprinted by
+# platform/XLA flags/host CPU/jax version (core.profiling.cache_fingerprint)
+# — AOT entries written by processes under other XLA flags (e.g. the TPU
+# tunnel's host-side compiles with +prefer-no-scatter) load with
+# cpu_aot_loader feature-mismatch errors and can SIGILL or perturb
+# reduction codegen.
+from synergynet_tpu.core.profiling import enable_compile_cache  # noqa: E402
+
+enable_compile_cache("/tmp/synergy_jax_cache", min_compile_secs=5.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

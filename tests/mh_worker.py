@@ -30,8 +30,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
-jax.config.update("jax_compilation_cache_dir", "/tmp/synergy_mh_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+# Own cache dir (CLAUDE.md hazard), fingerprinted like every other cache.
+from synergynet_tpu.core.profiling import enable_compile_cache  # noqa: E402
+
+enable_compile_cache("/tmp/synergy_mh_cache", min_compile_secs=5.0)
 
 from synergynet_tpu.parallel import init_distributed  # noqa: E402
 

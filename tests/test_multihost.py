@@ -78,7 +78,12 @@ class TestMultiHost:
         env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
         env["JAX_PLATFORMS"] = "cpu"
-        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/synergy_mh_cache"
+        # Fingerprinted like every cache dir (poisoned-AOT hazard); computed
+        # with the SUBPROCESS's XLA_FLAGS — the parent runs under different
+        # flags (8 virtual devices vs 4).
+        from synergynet_tpu.core.profiling import cache_fingerprint
+        env["JAX_COMPILATION_CACHE_DIR"] = (
+            "/tmp/synergy_mh_cache-" + cache_fingerprint(env["XLA_FLAGS"]))
         env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "5"
         port = _free_port()
         snap = tmp_path / "snap"

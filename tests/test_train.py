@@ -274,9 +274,26 @@ class TestAccumSteps:
             f"scan-accum params diverge from sequential microbatches: "
             f"update-relative L2 {rel:.4f} (noise floor ~0.004, "
             f"structural bugs >=0.5)")
-        jax.tree.map(lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
-            new_state.batch_stats, stats2)
+        # batch_stats gets the same global update-relative L2 treatment as
+        # the params above: BN batch means/vars reduce over ~10^4-10^5
+        # elements, where XLA:CPU's load-dependent reduction splits can push
+        # single elements past any tight elementwise rtol (observed in
+        # full-suite runs that pass solo). The stats update over one step is
+        # momentum-scaled (0.1 x (batch - running)), so an unchained or
+        # single-microbatch stats bug shifts the ratio by O(1).
+        num, den = 0.0, 0.0
+        for got, want, old in zip(jax.tree.leaves(new_state.batch_stats),
+                                  jax.tree.leaves(stats2),
+                                  jax.tree.leaves(state.batch_stats)):
+            got = np.asarray(got, np.float64)
+            want = np.asarray(want, np.float64)
+            old = np.asarray(old, np.float64)
+            num += float(((got - want) ** 2).sum())
+            den += float(((want - old) ** 2).sum())
+        rel_bs = (num ** 0.5) / max(den ** 0.5, 1e-30)
+        assert rel_bs < 0.02, (
+            f"scan-accum batch_stats diverge from chained microbatches: "
+            f"update-relative L2 {rel_bs:.5f}")
 
     def test_accum_scan_mechanism_exact_f64(self):
         """The scan-accumulation structure (per-microbatch value_and_grad
