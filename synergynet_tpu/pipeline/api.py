@@ -204,6 +204,12 @@ class FusedFrameEngine:
 
     Host work per frame: optional downscale + canvas paste + s2d packing
     (memcpy-class), then one dispatch.
+
+    ``crop_mode`` stays ``"matmul"`` by default: the on-chip A/B
+    (scripts/prof_serving_stages.py, B=32) measured the dense interp
+    matmul at 2.08 ms vs 12.40 ms for the 6x-fewer-FLOPs "hybrid" row
+    gather — the matmul rides the MXU, the gather serializes (full
+    numbers in device_crop.crop_resize_hybrid's docstring).
     """
 
     def __init__(self, api: "SynergyNet3DMM", detector=None,

@@ -137,6 +137,16 @@ def crop_resize_hybrid(image: jnp.ndarray, rois: jnp.ndarray,
 
     Sample coordinates, clamping and the zero-pad rule are identical to
     crop_resize_matmul / the host cv2 chain (tests assert both).
+
+    Measured on-chip (v5e, prof_serving_stages at B=32): a NEGATIVE
+    result — the crop stage is 2.08 ms as a matmul vs 12.40 ms hybrid,
+    and the full serving program 12.6 vs 23.2 ms/dispatch. The dense
+    interp matmul rides the MXU at high utilization while the 2-tap row
+    gather serializes on dynamic-slice row addressing; 6x fewer FLOPs
+    lost to 6x worse silicon. Kept as a tested alternative
+    (crop_mode="hybrid") and as the record of why FLOP counts alone
+    don't pick TPU kernels — see also the deferred-payload raster
+    kernel in docs/RENDERER.md.
     """
     h, w = image.shape[:2]
     c = image.shape[2]
