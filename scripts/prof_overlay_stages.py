@@ -93,16 +93,24 @@ def main():
     interpret = jax.default_backend() != "tpu"
 
     def slope_ms(loop_fn, *arrays):
-        """loop_fn(n, *arrays) -> scalar; arrays are jit args, not consts."""
-        jloop = jax.jit(loop_fn)
+        """loop_fn(n, seed, *arrays) -> scalar; arrays are jit args, not
+        consts. ``seed`` varies per outer call so repeated timings are
+        distinct dispatches (the tunnel memoizes identical ones)."""
+        def with_seed(n, seed, *arr):
+            return loop_fn(n, *arr) + seed * 1e-12
+        jloop = jax.jit(with_seed)
         t0 = time.perf_counter()
-        float(jloop(2, *arrays))                          # compile + warm
+        float(jloop(2, jnp.float32(0.0), *arrays))        # compile + warm
         print(f"#   compile+warm {time.perf_counter() - t0:.1f}s",
               flush=True)
 
+        ctr = [0]
+
         def run(n):
+            ctr[0] += 1
+            s = jnp.float32(ctr[0])
             t0 = time.perf_counter()
-            float(jloop(n, *arrays))
+            float(jloop(n, s, *arrays))
             return time.perf_counter() - t0
 
         t_small = min(run(args.small) for _ in range(3))
@@ -235,6 +243,213 @@ def main():
             results["gather"] = round(slope_ms(loop_gather, rec_fix,
                                                order_fix), 2)
             print("# gather", results["gather"], flush=True)
+
+    # _prepare_faces sub-stages (the engine path at faces>1): per-face
+    # packed sort, per-face segment starts, per-face static-slice gathers,
+    # chunk maps. Mirrors raster_tiled._prepare_faces piece by piece.
+    if {"psort", "pstarts", "pgather", "pmaps"} & want and f > 1:
+        rec_fix = jax.jit(rt._plane_setup)(flat, tj_all,
+                                           [colors[:, 0], colors[:, 1],
+                                            colors[:, 2]])
+        t = tj_all.shape[0]
+        t1 = t // f
+        rcount = ry * rx
+        n1 = t1 * rcount
+        nby, nbx = -(-h // rt.TH), -(-w // rt.TW)
+        nbins = nby * nbx
+        tri_bits = max(1, int(t1 - 1).bit_length())
+        tri_of_copy = (jnp.arange(n1, dtype=jnp.int32)
+                       // jnp.int32(rcount))
+
+        def pf_sort(rec):
+            _, bins = rt._clamp_and_bins(rec, h=h, w=w, ry=ry, rx=rx,
+                                         bbox0=rt._BBOX0)
+            bins2 = bins.reshape(f, n1)
+            return jax.lax.sort((bins2 << tri_bits) | tri_of_copy[None, :],
+                                dimension=1)
+
+        if "psort" in want:
+            def loop_psort(n, rec):
+                def body(i, acc):
+                    pk = pf_sort(rec + i.astype(jnp.float32) * 1e-9)
+                    return acc + pk[3, 12345].astype(jnp.float32)
+                return lax.fori_loop(0, n, body, jnp.float32(0.0))
+            results["psort"] = round(slope_ms(loop_psort, rec_fix), 2)
+            print("# psort", results["psort"], flush=True)
+
+        packed_fix = jax.jit(pf_sort)(rec_fix)
+        seg_queries = (jnp.arange(nbins + 1, dtype=jnp.int32) << tri_bits)
+
+        if "pstarts" in want:
+            def loop_pstarts(n, packed):
+                def body(i, acc):
+                    s = jax.vmap(lambda k: jnp.searchsorted(
+                        k, seg_queries, method="compare_all"))(
+                            packed ^ (i & 1))
+                    return acc + s[3, 100].astype(jnp.float32)
+                return lax.fori_loop(0, n, body, jnp.float32(0.0))
+            results["pstarts"] = round(slope_ms(loop_pstarts, packed_fix),
+                                       2)
+            print("# pstarts", results["pstarts"], flush=True)
+
+        if "pgather" in want:
+            order_fix = packed_fix & ((1 << tri_bits) - 1)    # (F, n1)
+
+            def loop_pgather(n, rec, order):
+                def body(i, acc):
+                    o = order ^ (i & 1)
+                    parts = [jax.lax.slice(
+                        rec, (k * t1, 0), ((k + 1) * t1, rt.REC_W)
+                    )[o[k]] for k in range(f)]
+                    rs = jnp.pad(jnp.concatenate(parts, axis=0),
+                                 ((0, rt.CHUNK), (0, 128 - rt.REC_W)))
+                    return acc + rs[123, 7] + rs[9999, 3]
+                return lax.fori_loop(0, n, body, jnp.float32(0.0))
+            results["pgather"] = round(
+                slope_ms(loop_pgather, rec_fix, order_fix), 2)
+            print("# pgather", results["pgather"], flush=True)
+
+        if "pmaps" in want:
+            starts_fix = jax.vmap(lambda k: jnp.searchsorted(
+                k, seg_queries, method="compare_all"))(
+                    packed_fix).astype(jnp.int32)
+
+            def loop_pmaps(n, starts):
+                def body(i, acc):
+                    st = starts + (i & 1)
+                    counts = st[:, 1:] - st[:, :-1]
+                    counts_bf = counts.T.reshape(-1)
+                    nchunks = -(-counts_bf // rt.CHUNK)
+                    sidx = jnp.arange(nbins * f, dtype=jnp.int32)
+                    nchunks = jnp.where((sidx % f == 0) & (nchunks == 0),
+                                        1, nchunks)
+                    chunk_start = jnp.concatenate(
+                        [jnp.zeros(1, jnp.int32),
+                         jnp.cumsum(nchunks).astype(jnp.int32)])
+                    total_chunks_max = t * rcount // rt.CHUNK + nbins * f + 1
+                    cd = jnp.arange(total_chunks_max, dtype=jnp.int32)
+                    c2s = jnp.clip(jnp.searchsorted(
+                        chunk_start, cd, side="right",
+                        method="compare_all") - 1,
+                        0, nbins * f - 1).astype(jnp.int32)
+                    in_use = cd < chunk_start[-1]
+                    ccount = jnp.where(
+                        in_use,
+                        jnp.clip(counts_bf[c2s]
+                                 - (cd - chunk_start[c2s]) * rt.CHUNK,
+                                 0, rt.CHUNK), 0).astype(jnp.int32)
+                    c2b = jnp.where(in_use, c2s // f, nbins - 1)
+                    segf = c2s % f
+                    segb = c2s // f
+                    seg_start = st.reshape(-1)[segf * (nbins + 1) + segb]
+                    src0 = jnp.clip(
+                        segf * n1 + seg_start
+                        + (cd - chunk_start[c2s]) * rt.CHUNK,
+                        0, t * rcount)
+                    return (acc + ccount.sum().astype(jnp.float32)
+                            + src0[50].astype(jnp.float32)
+                            + c2b[17].astype(jnp.float32))
+                return lax.fori_loop(0, n, body, jnp.float32(0.0))
+            results["pmaps"] = round(slope_ms(loop_pmaps, starts_fix), 2)
+            print("# pmaps", results["pmaps"], flush=True)
+
+    # Prefix timing: cumulative prefixes of the per-face prep chain, every
+    # large intermediate consumed by a FULL sum (the pointwise-consumption
+    # stages above can be DCE'd to near-zero — a gather whose output is
+    # read at 2 elements legally collapses). Stage cost = difference of
+    # consecutive prefixes; the sum passes are shared so they cancel.
+    if "prefix" in want and f > 1:
+        t = tj_all.shape[0]
+        t1 = t // f
+        rcount = ry * rx
+        n1 = t1 * rcount
+        nby, nbx = -(-h // rt.TH), -(-w // rt.TW)
+        nbins = nby * nbx
+        tri_bits = max(1, int(t1 - 1).bit_length())
+        tri_of_copy8 = (jnp.arange(n1, dtype=jnp.int32)
+                        // jnp.int32(rcount))
+        seg_queries = (jnp.arange(nbins + 1, dtype=jnp.int32) << tri_bits)
+
+        def chain(flat_v, colors, depth):
+            out = jnp.float32(0.0)
+            rec = rt._plane_setup(flat_v, tj_all,
+                                  [colors[:, 0], colors[:, 1],
+                                   colors[:, 2]])
+            if depth == 1:
+                return out + rec.sum()
+            rec, bins = rt._clamp_and_bins(rec, h=h, w=w, ry=ry, rx=rx,
+                                           bbox0=rt._BBOX0)
+            bins2 = bins.reshape(f, n1)
+            packed = jax.lax.sort(
+                (bins2 << tri_bits) | tri_of_copy8[None, :], dimension=1)
+            if depth == 2:
+                return out + rec.sum() + packed.sum().astype(jnp.float32)
+            order_tri = packed & ((1 << tri_bits) - 1)
+            starts = jax.vmap(lambda k: jnp.searchsorted(
+                k, seg_queries, method="compare_all"))(
+                    packed).astype(jnp.int32)
+            if depth == 3:
+                return (out + rec.sum() + order_tri.sum().astype(jnp.float32)
+                        + starts.sum().astype(jnp.float32))
+            parts = [jax.lax.slice(
+                rec, (k * t1, 0), ((k + 1) * t1, rt.REC_W)
+            )[order_tri[k]] for k in range(f)]
+            rec_sorted = jnp.pad(jnp.concatenate(parts, axis=0),
+                                 ((0, rt.CHUNK), (0, 128 - rt.REC_W)))
+            if depth == 4:
+                return (out + rec_sorted.sum()
+                        + starts.sum().astype(jnp.float32))
+            counts = starts[:, 1:] - starts[:, :-1]
+            counts_bf = counts.T.reshape(-1)
+            nchunks = -(-counts_bf // rt.CHUNK)
+            sidx = jnp.arange(nbins * f, dtype=jnp.int32)
+            nchunks = jnp.where((sidx % f == 0) & (nchunks == 0), 1,
+                                nchunks)
+            chunk_start = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32),
+                 jnp.cumsum(nchunks).astype(jnp.int32)])
+            total_chunks_max = t * rcount // rt.CHUNK + nbins * f + 1
+            cd = jnp.arange(total_chunks_max, dtype=jnp.int32)
+            c2s = jnp.clip(jnp.searchsorted(chunk_start, cd, side="right",
+                                            method="compare_all") - 1,
+                           0, nbins * f - 1).astype(jnp.int32)
+            in_use = cd < chunk_start[-1]
+            ccount = jnp.where(
+                in_use,
+                jnp.clip(counts_bf[c2s] - (cd - chunk_start[c2s]) * rt.CHUNK,
+                         0, rt.CHUNK), 0).astype(jnp.int32)
+            c2b = jnp.where(in_use, c2s // f, nbins - 1).astype(jnp.int32)
+            segf = c2s % f
+            segb = c2s // f
+            seg_start = starts.reshape(-1)[segf * (nbins + 1) + segb]
+            src0 = jnp.clip(
+                segf * n1 + seg_start + (cd - chunk_start[c2s]) * rt.CHUNK,
+                0, t * rcount).astype(jnp.int32)
+            if depth == 5:
+                return (out + rec_sorted.sum()
+                        + ccount.sum().astype(jnp.float32)
+                        + src0.sum().astype(jnp.float32)
+                        + c2b.sum().astype(jnp.float32))
+            zb, pays = rt._launch(c2b, ccount, src0, rec_sorted,
+                                  h=h, w=w, n_payload=3,
+                                  interpret=interpret)
+            return out + zb.sum() + pays.sum()
+
+        names = ["setup", "sort", "starts", "gather", "maps", "kernel"]
+        prev = None
+        for depth in range(1, 7):
+            def loop_pref(n, flat_v, colors, depth=depth):
+                def body(i, acc):
+                    return acc + chain(
+                        flat_v + i.astype(jnp.float32) * 1e-6, colors,
+                        depth)
+                return lax.fori_loop(0, n, body, jnp.float32(0.0))
+            ms = slope_ms(loop_pref, flat, colors)
+            results[f"prefix{depth}"] = round(ms, 2)
+            delta = ms - prev if prev is not None else ms
+            print(f"# prefix{depth} ({names[depth - 1]}) {ms:.2f}"
+                  f"  [+{delta:.2f}]", flush=True)
+            prev = ms
 
     if "sort" in want:
         t_r = tris_all.shape[0] * ry * rx
