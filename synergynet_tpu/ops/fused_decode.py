@@ -93,16 +93,37 @@ def _decode_kernel(alpha_ref, p_ref, off_ref, w_ref, u_ref, out_ref):
     out_ref[:, 2, :] = rot(2)
 
 
+def _auto_batch_tile(b: int) -> int:
+    """Largest power-of-two batch tile (8..128) that doesn't overshoot b.
+
+    The basis block index map ignores the batch-tile grid axis only within
+    a tile, so the FULL basis (3, Npad, 50) streams from HBM once per batch
+    tile: at the serving batch (B frames x 8 faces flattened to b rows),
+    bt=8 cost 32 MB x b/8 of pure re-read traffic (~4 GB per B=128
+    dispatch — measured as ~16% of the fused program before this change).
+    Growing the tile divides that traffic by bt/8 while the out block
+    (bt, 3, vt) stays well inside VMEM (bt=128, vt=1024 -> 1.5 MB f32).
+    """
+    bt = 8
+    while bt < 128 and bt < b:
+        bt *= 2
+    return bt
+
+
 def decode_dense_fused(param: jnp.ndarray, basis: DecodeBasis,
-                       pack: ParamPack, *, batch_tile: int = 8,
+                       pack: ParamPack, *, batch_tile: int | None = None,
                        vertex_tile: int = 1024,
                        interpret: bool = False) -> jnp.ndarray:
     """Whitened (B, 62) params -> dense vertices (B, 3, nver).
 
     Semantics identical to ``decode_dense`` (the single codec path); this is
     the TPU fast path. ``interpret=True`` runs the Pallas interpreter (for
-    CPU tests).
+    CPU tests). ``batch_tile=None`` auto-sizes the tile to the batch
+    (bit-identical results for any tile: the contraction axis is untiled,
+    so each output element sees one dot-product in one order).
     """
+    if batch_tile is None:
+        batch_tile = _auto_batch_tile(param.shape[0])
     return _decode_dense_fused(param, basis.w, basis.u, pack,
                                nver=basis.nver, batch_tile=batch_tile,
                                vertex_tile=vertex_tile, interpret=interpret)

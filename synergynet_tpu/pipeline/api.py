@@ -258,9 +258,11 @@ class FusedFrameEngine:
         model = api.model
         decode_dense_in = api._decode_dense_in_program
 
-        @jax.jit
-        def program(variables, det_vars, pack, basis_w, basis_u, anchors,
-                    frame, frame_s2d, true_hw):
+        def head(variables, det_vars, anchors, frame, frame_s2d, true_hw):
+            """Detect + crop + regress: frame -> (scores, n, rois, param62).
+            Kept separate from the decode tail so the batched program can
+            vmap it per frame while running the decode on the flattened
+            (B*max_faces) face axis (see _fused_batch_program)."""
             x = frame_s2d - det_mean
             loc, conf = det.net.apply(det_vars, x[None], train=False)
             scores = jax.nn.softmax(conf[0], axis=-1)[:, 1]
@@ -287,14 +289,30 @@ class FusedFrameEngine:
             xn = (crops - 127.5) / 128.0
             param62, _ = model.apply(variables, xn, train=False)
             param62 = param62.astype(jnp.float32)
+            return face_scores, n_faces, rois, param62
+
+        def tail(param62, rois, pack, basis_w, basis_u):
+            """Decode: flat (N, 62) params + (N, 4) rois -> lmk/dense/pose.
+            Row-independent, so it computes the same values whether N is
+            one frame's faces or a whole batch's flattened face axis."""
             lmk = rescale_to_roi(decode_landmarks(param62, pack), rois)
             dense = rescale_to_roi(
                 decode_dense_in(param62, pack, basis_w, basis_u), rois)
             angles, t3d = pose_from_param(param62, pack)
             t3d = rescale_pose_to_roi(t3d, rois)
+            return lmk, dense, angles, t3d
+
+        @jax.jit
+        def program(variables, det_vars, pack, basis_w, basis_u, anchors,
+                    frame, frame_s2d, true_hw):
+            face_scores, n_faces, rois, param62 = head(
+                variables, det_vars, anchors, frame, frame_s2d, true_hw)
+            lmk, dense, angles, t3d = tail(param62, rois, pack,
+                                           basis_w, basis_u)
             return (face_scores, n_faces, rois, param62, lmk, dense,
                     angles, t3d)
 
+        self._head_fn, self._tail_fn = head, tail
         return program
 
     def __call__(self, img_bgr: np.ndarray) -> Tuple[List, List, List]:
@@ -337,8 +355,34 @@ class FusedFrameEngine:
 
 
 def _fused_batch_program(engine: "FusedFrameEngine"):
-    """vmap the fused frame program over a leading frame axis — multi-stream
-    throughput serving (B frames x max_faces faces in one dispatch)."""
-    return jax.jit(jax.vmap(
-        engine._program,
-        in_axes=(None, None, None, None, None, None, 0, 0, 0)))
+    """Multi-stream serving program: B frames x max_faces in one dispatch.
+
+    The detect+crop+regress head vmaps over the frame axis, but the decode
+    tail runs ONCE on the flattened (B*max_faces) face axis: under a
+    vmapped tail the Pallas dense-decode kernel sees 8 rows per frame and
+    re-streams the full (3, Npad, 50) basis from HBM for every frame
+    (~4 GB of pure re-read traffic per B=128 dispatch, measured ~16% of
+    the program); flat, the kernel auto-sizes its batch tile
+    (ops/fused_decode._auto_batch_tile) and reads the basis B*8/128 times
+    instead. Row-independent math — outputs are bit-identical to the
+    vmapped form (tests/test_pipeline.py::test_process_batch_matches_single).
+    """
+    head, tail = engine._head_fn, engine._tail_fn
+    f_max = engine.max_faces
+
+    @jax.jit
+    def batch_program(variables, det_vars, pack, basis_w, basis_u, anchors,
+                      frames, frames_s2d, true_hws):
+        face_scores, n_faces, rois, param62 = jax.vmap(
+            head, in_axes=(None, None, None, 0, 0, 0))(
+                variables, det_vars, anchors, frames, frames_s2d, true_hws)
+        b = frames.shape[0]
+        lmk, dense, angles, t3d = tail(
+            param62.reshape(b * f_max, param62.shape[-1]),
+            rois.reshape(b * f_max, rois.shape[-1]),
+            pack, basis_w, basis_u)
+        unflat = lambda x: x.reshape(b, f_max, *x.shape[1:])
+        return (face_scores, n_faces, rois, param62, unflat(lmk),
+                unflat(dense), unflat(angles), unflat(t3d))
+
+    return batch_program
