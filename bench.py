@@ -37,10 +37,11 @@ import numpy as np
 BASELINE_FPS = 3000.0   # reference README.md:31 (RTX 2080, alignment only)
 FACES_PER_FRAME = 8
 N_SMALL, N_LARGE = 10, 50
-# Multi-stream serving: the same fused program vmapped over BATCH frames
-# per dispatch (pipeline/api.py::_fused_batch_program). Round-3 sweep
-# (bench_serving.py / BENCH_SERVING.json): throughput keeps rising to
-# B=128 (30.7K faces/s vs ~15-18K at B=1), so the headline reports the
+# Multi-stream serving: B frames per dispatch through the head-vmapped /
+# tail-flattened batch program (pipeline/api.py::_fused_batch_program).
+# Round-3 sweep (bench_serving.py / BENCH_SERVING.json): throughput keeps
+# rising to B=128 (30.7K faces/s vs ~15-18K at B=1; 33.8K after the
+# decode-bandwidth fix — docs/SERVING.md), so the headline reports the
 # better of the two; both appear in "extra".
 BATCH = 128
 NB_SMALL, NB_LARGE = 4, 16
