@@ -22,6 +22,15 @@ N_SMALL, N_LARGE = 5, 25
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="1,4,8,16,32,64,128",
+                    help="comma list of frame-batch sizes to sweep "
+                         "(each is a fresh program compile over the "
+                         "tunnel — trim for quick re-measurements)")
+    args = ap.parse_args()
+    batches = tuple(int(x) for x in args.batches.split(","))
+
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -46,7 +55,7 @@ def main():
     # request-size limit (HTTP 413). The constants now ride as jit
     # arguments (pipeline/api.py pack_args), so the program is ~KBs and
     # the sweep extends until compute stops scaling.
-    for b in (1, 4, 8, 16, 32, 64, 128):
+    for b in batches:
         frames = rng.integers(0, 255, (b, ch, cw, 3)).astype(np.float32)
         s2d = np.stack([np.ascontiguousarray(space_to_depth(f))
                         for f in frames])

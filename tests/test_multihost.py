@@ -25,7 +25,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch(nproc: int, timeout: float = 480.0):
+def _launch(nproc: int, timeout: float = 900.0):
+    # 900s matches the CLI smoke test below: with a COLD compile cache the
+    # two workers compile the sharded step + TP decode serially per clique,
+    # and a contended host (e.g. a TPU bench running alongside the suite)
+    # has been observed to blow the previous 480s budget.
     env = dict(os.environ)
     env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
