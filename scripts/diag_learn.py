@@ -1,0 +1,179 @@
+"""Diagnose the round-3 full-recipe eval plateau (VERDICT.md Weak #1).
+
+The recorded recipe run (docs/FULL_RECIPE_RUN.json) reaches loss_LMK 0.38
+(wing ~7.7 -> mean landmark error of a few px on the *training* forward)
+while its eval NME sits at ~74% — worse than a mean-collapse predictor
+(~36%, the toy run's plateau). This script separates the hypotheses at
+small scale on CPU:
+
+  H1 train/eval mode mismatch (BN running stats broken) ->
+       eval-mode NME on TRAINING crops is bad while train-mode is good.
+  H2 input-normalization mismatch (std 130 vs 128, TestTransform) ->
+       eval-mode-with-train-normalization is good, eval transform bad.
+  H3 no generalization (memorization / task too hard) ->
+       eval-mode on train crops is GOOD, held-out crops bad.
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     python scripts/diag_learn.py
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_platforms", "cpu")
+
+from synergynet_tpu.core.profiling import enable_compile_cache
+enable_compile_cache("/tmp/synergy_jax_cache", min_compile_secs=5.0)
+
+from synergynet_tpu.data.synthetic import (make_crops_with_params,
+                                           make_synthetic_aflw2000)
+from synergynet_tpu.evals.nme import calc_nme
+from synergynet_tpu.mm3d import decode_landmarks, load_param_pack
+from synergynet_tpu.nn import SynergyNet
+from synergynet_tpu.train.step import (create_train_state, make_optimizer,
+                                       make_train_step)
+
+N_TRAIN = int(os.environ.get("DIAG_N", 2048))
+BATCH = int(os.environ.get("DIAG_BS", 128))
+EPOCHS = int(os.environ.get("DIAG_EPOCHS", 24))
+LR = float(os.environ.get("DIAG_LR", 0.01))
+AUGMENT = os.environ.get("DIAG_AUGMENT", "0") == "1"
+DTYPE = os.environ.get("DIAG_DTYPE", "float32")
+
+
+def px_err(lmk_pred, lmk_gt):
+    """Mean 2D pixel error in crop space."""
+    d = np.asarray(lmk_pred)[:, :2] - np.asarray(lmk_gt)[:, :2]
+    return float(np.sqrt((d ** 2).sum(1)).mean())
+
+
+def main():
+    pack = load_param_pack()
+    model = SynergyNet(arch="mobilenet_v2", dtype=jnp.dtype(DTYPE))
+    optimizer = make_optimizer(lambda s: LR, weight_decay=5e-4)
+
+    augment = None
+    if AUGMENT:
+        from synergynet_tpu.data.device_augment import device_augment
+        augment = device_augment
+    step = jax.jit(make_train_step(model, pack, optimizer, augment=augment),
+                   donate_argnums=(0,))
+    state = create_train_state(model, jax.random.PRNGKey(0), optimizer)
+
+    train = make_crops_with_params(N_TRAIN, pack, seed=0)
+    imgs = train["images"]
+    tgts = train["params"]
+
+    rng = np.random.default_rng(3)
+    key = jax.random.PRNGKey(1)
+    steps_per_epoch = N_TRAIN // BATCH
+    t0 = time.time()
+    for epoch in range(EPOCHS):
+        order = rng.permutation(N_TRAIN)
+        tot = 0.0
+        lmk_l = 0.0
+        for i in range(steps_per_epoch):
+            idx = order[i * BATCH:(i + 1) * BATCH]
+            state, m = step(state, jnp.asarray(imgs[idx]),
+                            jnp.asarray(tgts[idx]), key)
+            tot += float(m["loss_total"])
+            lmk_l += float(m["loss_LMK_f0"])
+        print(f"epoch {epoch + 1:3d} loss_total {tot / steps_per_epoch:.4f} "
+              f"loss_LMK_f0 {lmk_l / steps_per_epoch:.4f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    variables = {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)}
+
+    @jax.jit
+    def fwd(images_u8, train_mode, std):
+        x = (images_u8.astype(jnp.float32) - 127.5) / std
+        if train_mode:
+            (p62, _), _ = model.apply(variables, x, train=True,
+                                      mutable=["batch_stats"])
+        else:
+            p62, _ = model.apply(variables, x, train=False)
+        return p62.astype(jnp.float32)
+
+    fwd_eval = jax.jit(lambda im, std: fwd(im, False, std),
+                       static_argnums=())
+    # simple batched extract
+    def extract(images_u8, train_mode=False, std=128.0):
+        out = []
+        for s in range(0, len(images_u8), BATCH):
+            chunk = images_u8[s:s + BATCH]
+            pad = BATCH - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            p = model.apply(
+                variables,
+                (jnp.asarray(chunk).astype(jnp.float32) - 127.5) / std,
+                train=train_mode,
+                mutable=["batch_stats"] if train_mode else False)
+            p62 = (p[0][0] if train_mode else p[0])
+            out.append(np.asarray(p62, np.float32)[:BATCH - pad])
+        return np.concatenate(out)
+
+    gt_lmk_train = train["landmarks"]
+
+    def report(name, params_pred, lmk_gt):
+        lmk = np.asarray(decode_landmarks(jnp.asarray(params_pred), pack))
+        # crop-space NME vs gt bbox diag
+        gt = np.asarray(lmk_gt)
+        minx, maxx = gt[:, 0].min(1), gt[:, 0].max(1)
+        miny, maxy = gt[:, 1].min(1), gt[:, 1].max(1)
+        diag = np.sqrt((maxx - minx) * (maxy - miny))
+        dis = np.sqrt(((lmk[:, :2] - gt[:, :2]) ** 2).sum(1)).mean(1)
+        nme = float((dis / diag).mean() * 100)
+        print(f"{name:55s} px_err {px_err(lmk, gt):7.2f}  NME {nme:6.2f}%")
+
+    n_eval = min(512, N_TRAIN)
+    sub = slice(0, n_eval)
+
+    # Baseline: mean-collapse (zero params).
+    report("mean-collapse (zero params) on train",
+           np.zeros((n_eval, 62), np.float32), gt_lmk_train[sub])
+
+    # A: train-mode forward (batch stats) on training crops — what the loss saw
+    report("train-mode fwd, train crops, std=128",
+           extract(imgs[sub], train_mode=True), gt_lmk_train[sub])
+    # B: eval-mode forward on the same crops
+    report("EVAL-mode fwd, train crops, std=128",
+           extract(imgs[sub], train_mode=False), gt_lmk_train[sub])
+    # C: eval-mode with in-train eval std
+    report("EVAL-mode fwd, train crops, std=130",
+           extract(imgs[sub], train_mode=False, std=130.0), gt_lmk_train[sub])
+
+    # D: held-out crops, same distribution
+    held = make_crops_with_params(n_eval, pack, seed=77)
+    report("EVAL-mode fwd, HELD-OUT crops, std=128",
+           extract(held["images"], train_mode=False), held["landmarks"])
+    report("train-mode fwd, HELD-OUT crops, std=128",
+           extract(held["images"], train_mode=True), held["landmarks"])
+
+    # E: the actual eval-hook protocol (TestTransform border zero + std 130)
+    from synergynet_tpu.data import TestTransform
+    from synergynet_tpu.evals import benchmark_pipeline
+    ep = make_synthetic_aflw2000(n_eval, seed=11)
+    r = benchmark_pipeline(model, variables, ep, pack, std=130.0,
+                           batch=BATCH, transform=TestTransform())
+    print(f"{'eval-hook protocol (TestTransform, std=130, roi NME)':55s} "
+          f"NME {r['nme_mean']:6.2f}%  FOE {r['foe']['mae_mean']:.2f}")
+
+
+if __name__ == "__main__":
+    main()

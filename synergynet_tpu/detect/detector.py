@@ -96,10 +96,11 @@ class FaceBoxes:
     def __init__(self, variables: Optional[dict] = None,
                  weights_path: Optional[str] = None,
                  dtype: jnp.dtype = jnp.float32,
-                 stem_s2d: bool = True):
-        from synergynet_tpu.detect.net import variables_to_s2d
+                 stem_s2d: bool = True,
+                 fold_bn: bool = True):
+        from synergynet_tpu.detect.net import (fold_bn_variables,
+                                               variables_to_s2d)
         self.stem_s2d = stem_s2d
-        self.net = FaceBoxesNet(dtype=dtype, stem_s2d=stem_s2d)
         if variables is None:
             from synergynet_tpu.detect.torch_import import (
                 load_faceboxes_variables)
@@ -107,6 +108,16 @@ class FaceBoxes:
         if stem_s2d and variables["params"]["conv1"]["conv"][
                 "kernel"].shape[0] == 7:
             variables = variables_to_s2d(variables)
+        # Inference default: BN folded into channel-doubled convs (exact
+        # affine algebra; doubles the stem's MXU lane occupancy — see
+        # net.fold_bn_variables). A caller passing an already-folded tree
+        # (no batch_stats, conv bias present) is accepted as-is.
+        already_folded = "bias" in variables["params"]["conv1"]["conv"]
+        self.fold_bn = fold_bn or already_folded
+        if fold_bn and not already_folded:
+            variables = fold_bn_variables(variables)
+        self.net = FaceBoxesNet(dtype=dtype, stem_s2d=stem_s2d,
+                                folded=self.fold_bn)
         self.variables = variables
         h, w = CANVAS
         self.anchors = jnp.asarray(generate_anchors(h, w))

@@ -31,35 +31,58 @@ ANCHORS_PER_CELL = (21, 1, 1)
 
 
 class BasicConv2d(nn.Module):
-    """Conv + BN + ReLU (reference faceboxes.py:8-19)."""
+    """Conv + BN + ReLU (reference faceboxes.py:8-19).
+
+    ``folded``: inference-only variant with the BN affine pre-folded into
+    the conv kernel/bias (see :func:`fold_bn_variables`) — one conv + relu,
+    no separate normalization pass.
+    """
 
     features: int
     kernel: int
     stride: int = 1
     pad: int = 0
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=self.stride, padding=self.pad, use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
-                         momentum=0.9, dtype=self.dtype, name="bn")(x)
+                    strides=self.stride, padding=self.pad,
+                    use_bias=self.folded, dtype=self.dtype, name="conv")(x)
+        if not self.folded:
+            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                             momentum=0.9, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
 
 class CRelu(nn.Module):
-    """Conv + BN + cat[x, -x] + ReLU (reference faceboxes.py:49-61)."""
+    """Conv + BN + cat[x, -x] + ReLU (reference faceboxes.py:49-61).
+
+    ``folded``: the inference identity
+    ``relu(cat[bn(conv(x)), -bn(conv(x))]) == relu(conv'(x))`` where
+    ``conv'`` has the channel-doubled kernel ``[a*K, -a*K]`` and bias
+    ``[b, -b]`` (``a, b`` the BN affine). On TPU this doubles the conv's
+    output-channel (lane) occupancy on the 128-wide MXU — the stem's 24-
+    channel convs were the serving profile's worst utilization offender
+    (docs/SERVING.md: detnet 4% of peak) — and deletes the BN + negate +
+    concat VPU chain.
+    """
 
     features: int
     kernel: int
     stride: int
     pad: object           # int or explicit ((t, b), (l, r))
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.folded:
+            x = nn.Conv(2 * self.features, (self.kernel, self.kernel),
+                        strides=self.stride, padding=self.pad, use_bias=True,
+                        dtype=self.dtype, name="conv")(x)
+            return nn.relu(x)
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=self.stride, padding=self.pad, use_bias=False,
                     dtype=self.dtype, name="conv")(x)
@@ -73,11 +96,12 @@ class Inception(nn.Module):
     faceboxes.py:21-46)."""
 
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv = lambda f, k, p, name: BasicConv2d(
-            f, k, 1, p, dtype=self.dtype, name=name)
+            f, k, 1, p, dtype=self.dtype, folded=self.folded, name=name)
         b0 = conv(32, 1, 0, "branch1x1")(x, train)
         # count_include_pad=True: the reference pools with torch's
         # F.avg_pool2d default, which divides by the full 3x3 window even
@@ -110,33 +134,45 @@ class FaceBoxesNet(nn.Module):
     (~0.6 ms/frame at 720x1088 — measured); packing on the host while the
     frame canvas is assembled makes the stem essentially free. Weights
     convert exactly via :func:`stem_kernel_to_s2d`.
+
+    ``folded``: inference-only BN-folded topology (CRelu as one channel-
+    doubled conv + relu; BasicConv2d as conv+bias+relu). Variables convert
+    via :func:`fold_bn_variables`; ``train=True`` is invalid in this mode.
     """
 
     dtype: jnp.dtype = jnp.float32
     stem_s2d: bool = False
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        dt = self.dtype
+        if self.folded and train:
+            raise ValueError("folded FaceBoxesNet is inference-only")
+        dt, fold = self.dtype, self.folded
         x = x.astype(dt)
         if self.stem_s2d:
-            x = CRelu(24, 2, 1, ((1, 0), (1, 0)), dtype=dt,
+            x = CRelu(24, 2, 1, ((1, 0), (1, 0)), dtype=dt, folded=fold,
                       name="conv1")(x, train)
         else:
-            x = CRelu(24, 7, 4, 3, dtype=dt, name="conv1")(x, train)
+            x = CRelu(24, 7, 4, 3, dtype=dt, folded=fold,
+                      name="conv1")(x, train)
         x = _maxpool_3x3_s2(x)
-        x = CRelu(64, 5, 2, 2, dtype=dt, name="conv2")(x, train)
+        x = CRelu(64, 5, 2, 2, dtype=dt, folded=fold, name="conv2")(x, train)
         x = _maxpool_3x3_s2(x)
-        x = Inception(dtype=dt, name="inception1")(x, train)
-        x = Inception(dtype=dt, name="inception2")(x, train)
-        x = Inception(dtype=dt, name="inception3")(x, train)
+        x = Inception(dtype=dt, folded=fold, name="inception1")(x, train)
+        x = Inception(dtype=dt, folded=fold, name="inception2")(x, train)
+        x = Inception(dtype=dt, folded=fold, name="inception3")(x, train)
         src1 = x                                             # stride 32
-        x = BasicConv2d(128, 1, 1, 0, dtype=dt, name="conv3_1")(x, train)
-        x = BasicConv2d(256, 3, 2, 1, dtype=dt, name="conv3_2")(x, train)
+        x = BasicConv2d(128, 1, 1, 0, dtype=dt, folded=fold,
+                        name="conv3_1")(x, train)
+        x = BasicConv2d(256, 3, 2, 1, dtype=dt, folded=fold,
+                        name="conv3_2")(x, train)
         src2 = x                                             # stride 64
-        x = BasicConv2d(128, 1, 1, 0, dtype=dt, name="conv4_1")(x, train)
-        x = BasicConv2d(256, 3, 2, 1, dtype=dt, name="conv4_2")(x, train)
+        x = BasicConv2d(128, 1, 1, 0, dtype=dt, folded=fold,
+                        name="conv4_1")(x, train)
+        x = BasicConv2d(256, 3, 2, 1, dtype=dt, folded=fold,
+                        name="conv4_2")(x, train)
         src3 = x                                             # stride 128
 
         locs, confs = [], []
@@ -192,6 +228,51 @@ def stem_kernel_to_s2d(kernel7):
                         ch = (dy * 4 + dx) * cin
                         k2[by, bx, ch:ch + cin] = k7[ty, tx]
     return k2
+
+
+def fold_bn_variables(variables, eps: float = 1e-5):
+    """Fold every BatchNorm into its preceding conv for inference.
+
+    The BN affine ``bn(z) = a*z + b`` with ``a = scale/sqrt(var + eps)``,
+    ``b = bias - a*mean`` folds exactly into the conv as ``K' = K * a``
+    (per output channel), ``bias' = b``. For the two CRelu stems (conv1,
+    conv2) the ``cat[x, -x]`` doubles out too: ``K' = [a*K, -a*K]``,
+    ``bias' = [b, -b]`` — the serving-path utilization fix (docs/SERVING.md:
+    the 24/48-channel stem convs used <20% of the 128-wide MXU lanes;
+    reference topology FaceBoxes/models/faceboxes.py:49-77).
+
+    Input: a standard ``FaceBoxesNet`` variable tree (params + batch_stats,
+    plain or s2d stem). Output: a params-only tree for
+    ``FaceBoxesNet(folded=True)``. Exact affine algebra — parity with the
+    unfolded net is float-rounding-level (tests/test_detect.py).
+    """
+    import numpy as np
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    crelu_modules = ("conv1", "conv2")
+
+    def fold_one(p, s, crelu):
+        k = np.asarray(p["conv"]["kernel"], np.float64)
+        a = np.asarray(p["bn"]["scale"], np.float64) / np.sqrt(
+            np.asarray(s["bn"]["var"], np.float64) + eps)
+        b = np.asarray(p["bn"]["bias"], np.float64) - a * np.asarray(
+            s["bn"]["mean"], np.float64)
+        k2, b2 = k * a, b
+        if crelu:
+            k2 = np.concatenate([k2, -k2], axis=-1)
+            b2 = np.concatenate([b2, -b2])
+        return {"conv": {"kernel": jnp.asarray(k2, np.float32),
+                         "bias": jnp.asarray(b2, np.float32)}}
+
+    def walk(p, s, name=None):
+        if "conv" in p and "bn" in p:
+            return fold_one(p, s, crelu=name in crelu_modules)
+        if "kernel" in p:              # head conv (loc*/conf*): no BN
+            return p
+        return {k: walk(p[k], s.get(k, {}), k) for k in p}
+
+    return {"params": walk(params, stats)}
 
 
 def variables_to_s2d(variables):

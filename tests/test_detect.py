@@ -283,3 +283,77 @@ class TestCrowdedFrame:
 
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+class TestFoldBN:
+    """BN-folded inference net (net.fold_bn_variables) vs the standard
+    topology — exact affine algebra, so parity is float-rounding level.
+    The wrapper folds by default, so the golden-parity tests in
+    test_reference_parity.py exercise the folded path with real weights."""
+
+    def test_folded_net_matches_standard(self):
+        import jax
+        import jax.numpy as jnp
+        from synergynet_tpu.detect.net import fold_bn_variables
+
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.normal(0, 50, (1, 128, 256, 3)).astype(np.float32))
+        net = FaceBoxesNet()
+        v = net.init(jax.random.PRNGKey(3), x, train=False)
+        # Perturb BN stats away from init so the fold is non-trivial.
+        v = jax.tree.map(lambda a: a, v)
+        v["batch_stats"] = jax.tree.map(
+            lambda a: a + jnp.asarray(
+                np.random.default_rng(4).uniform(0.1, 0.5, a.shape),
+                a.dtype),
+            v["batch_stats"])
+        loc, conf = net.apply(v, x, train=False)
+        folded = FaceBoxesNet(folded=True)
+        loc2, conf2 = folded.apply(fold_bn_variables(v), x, train=False)
+        np.testing.assert_allclose(np.asarray(loc), np.asarray(loc2),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(conf), np.asarray(conf2),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_folded_s2d_net_matches(self):
+        import jax
+        import jax.numpy as jnp
+        from synergynet_tpu.detect.net import (fold_bn_variables,
+                                               space_to_depth,
+                                               variables_to_s2d)
+        rng = np.random.default_rng(10)
+        x = jnp.asarray(rng.normal(0, 50, (1, 128, 256, 3)).astype(np.float32))
+        net = FaceBoxesNet()
+        v = net.init(jax.random.PRNGKey(5), x, train=False)
+        loc, conf = net.apply(v, x, train=False)
+        folded = FaceBoxesNet(stem_s2d=True, folded=True)
+        v2 = fold_bn_variables(variables_to_s2d(v))
+        loc2, conf2 = folded.apply(v2, space_to_depth(x), train=False)
+        np.testing.assert_allclose(np.asarray(loc), np.asarray(loc2),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(conf), np.asarray(conf2),
+                                   atol=2e-4)
+
+    def test_detector_folded_equals_unfolded(self):
+        from synergynet_tpu.detect.torch_import import random_init_variables
+        from synergynet_tpu.detect.detector import FaceBoxes
+        img = np.random.default_rng(11).integers(
+            0, 255, (480, 640, 3), np.uint8)
+        v = random_init_variables()
+        a = FaceBoxes(variables=v, fold_bn=False).detect_raw(img)
+        b = FaceBoxes(variables=v, fold_bn=True).detect_raw(img)
+        assert a[1] == b[1]
+        np.testing.assert_allclose(a[0][:a[1]], b[0][:b[1]], rtol=1e-4,
+                                   atol=1e-2)
+
+    def test_folded_train_mode_raises(self):
+        import jax
+        import jax.numpy as jnp
+        from synergynet_tpu.detect.net import fold_bn_variables
+        net = FaceBoxesNet()
+        x = jnp.zeros((1, 128, 128, 3))
+        v = net.init(jax.random.PRNGKey(0), x, train=False)
+        folded = FaceBoxesNet(folded=True)
+        with pytest.raises(ValueError):
+            folded.apply(fold_bn_variables(v), x, train=True,
+                         mutable=["batch_stats"])
