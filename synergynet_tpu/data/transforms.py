@@ -54,16 +54,89 @@ def adjust_saturation(img: np.ndarray, factor: float) -> np.ndarray:
     return _blend(np.clip(gray3, 0, 255).astype(np.uint8), img, factor)
 
 
+def _rgb_to_hsv(arr: np.ndarray) -> np.ndarray:
+    """PIL ``convert('HSV')``, byte-exact (verified over the full 256^3 RGB
+    cube vs Pillow). PIL's C computes the per-channel fractions in C float
+    but the branch expressions ``2.0 + rc - bc`` / ``4.0 + gc - rc`` and the
+    final ``fmod(h/6 + 1, 1) * 255`` in double, storing h back to float in
+    between — the mixed precision below reproduces that rounding exactly."""
+    a = arr.astype(np.float32)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    maxc = np.max(a, -1)
+    minc = np.min(a, -1)
+    uv = maxc.astype(np.uint8)
+    cr = (maxc - minc).astype(np.float32)
+    crs = np.where(cr == 0, 1.0, cr).astype(np.float32)
+    s = (cr / np.where(maxc == 0, 1.0, maxc)).astype(np.float32)
+    rc = ((maxc - r) / crs).astype(np.float32)
+    gc = ((maxc - g) / crs).astype(np.float32)
+    bc = ((maxc - b) / crs).astype(np.float32)
+    rc64, gc64, bc64 = (x.astype(np.float64) for x in (rc, gc, bc))
+    h = np.where(r == maxc, (bc - gc).astype(np.float32),
+                 np.where(g == maxc, (2.0 + rc64 - bc64).astype(np.float32),
+                          (4.0 + gc64 - rc64).astype(np.float32)))
+    hm = np.mod(h.astype(np.float64) / 6.0 + 1.0, 1.0).astype(np.float32)
+    uh = np.clip((hm.astype(np.float64) * 255.0).astype(np.int32),
+                 0, 255).astype(np.uint8)
+    us = np.clip((s.astype(np.float64) * 255.0).astype(np.int32),
+                 0, 255).astype(np.uint8)
+    same = minc == maxc
+    uh = np.where(same, np.uint8(0), uh)
+    us = np.where(same, np.uint8(0), us)
+    return np.stack([uh, us, uv], -1)
+
+
+def _hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
+    """PIL ``Image.merge('HSV', ...).convert('RGB')``, byte-exact (verified
+    over the full 256^3 HSV cube vs Pillow): all-double sector math."""
+    h = hsv[..., 0].astype(np.float64) / 255.0
+    s = hsv[..., 1].astype(np.float64) / 255.0
+    v = hsv[..., 2].astype(np.float64)
+    h6 = h * 6.0
+    i = h6.astype(np.int32)
+    f = h6 - i
+    p = np.clip(np.round(v * (1.0 - s)).astype(np.int32), 0, 255)
+    q = np.clip(np.round(v * (1.0 - s * f)).astype(np.int32), 0, 255)
+    t = np.clip(np.round(v * (1.0 - s * (1.0 - f))).astype(np.int32), 0, 255)
+    im = np.mod(i, 6)
+    uv = hsv[..., 2].astype(np.int32)
+    sel = [im == 0, im == 1, im == 2, im == 3, im == 4]
+    r = np.select(sel, [uv, q, p, p, t], uv)
+    g = np.select(sel, [t, uv, uv, q, p], p)
+    b = np.select(sel, [p, p, t, uv, uv], q)
+    out = np.stack([r, g, b], -1).astype(np.uint8)
+    return np.where((hsv[..., 1] == 0)[..., None], hsv[..., 2:3], out)
+
+
+def adjust_hue(img: np.ndarray, factor: float) -> np.ndarray:
+    """Reference ``adjust_hue`` (utils/ddfa.py:64-84): PIL RGB->HSV, shift
+    the H channel by ``factor * 255`` with uint8 wraparound, HSV->RGB.
+    ``factor`` in [-0.5, 0.5]. The reference feeds BGR arrays as if RGB —
+    applied to channels as-given, like the other jitter ops."""
+    if not -0.5 <= factor <= 0.5:
+        raise ValueError(f"hue factor {factor} not in [-0.5, 0.5]")
+    hsv = _rgb_to_hsv(img)
+    # The reference's ``np.uint8(hue_factor * 255)`` relied on old numpy's
+    # truncate-then-wrap for negative factors; modern numpy raises, so wrap
+    # explicitly (identical value), and the in-place uint8 add still wraps
+    # across the hue circle like the reference's.
+    shift = np.uint8(int(factor * 255) % 256)
+    with np.errstate(over="ignore"):
+        hsv[..., 0] += shift
+    return _hsv_to_rgb(hsv)
+
+
 class ColorJitter:
-    """Random brightness/contrast/saturation in a random order
+    """Random brightness/contrast/saturation/hue in a random order
     (reference utils/ddfa.py:344-382). Hue defaults off like the reference's
     3-argument call (main_train.py:204)."""
 
     def __init__(self, brightness: float = 0.4, contrast: float = 0.4,
-                 saturation: float = 0.4):
+                 saturation: float = 0.4, hue: float = 0.0):
         self.brightness = brightness
         self.contrast = contrast
         self.saturation = saturation
+        self.hue = hue
 
     def __call__(self, img: np.ndarray,
                  rng: Optional[np.random.Generator] = None) -> np.ndarray:
@@ -78,6 +151,9 @@ class ColorJitter:
         if self.saturation > 0:
             f = rng.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
             ops.append(lambda im, f=f: adjust_saturation(im, f))
+        if self.hue > 0:
+            f = rng.uniform(-self.hue, self.hue)
+            ops.append(lambda im, f=f: adjust_hue(im, f))
         rng.shuffle(ops)
         for op in ops:
             img = op(img)

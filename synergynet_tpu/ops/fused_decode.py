@@ -94,7 +94,9 @@ def _decode_kernel(alpha_ref, p_ref, off_ref, w_ref, u_ref, out_ref):
 
 
 def _auto_batch_tile(b: int) -> int:
-    """Largest power-of-two batch tile (8..128) that doesn't overshoot b.
+    """Smallest power-of-two batch tile (8..128) covering b — i.e. the tile
+    may overshoot a non-power-of-two b (b=100 -> 128) and the kernel pads
+    the batch to a tile multiple internally.
 
     The basis block index map ignores the batch-tile grid axis only within
     a tile, so the FULL basis (3, Npad, 50) streams from HBM once per batch

@@ -364,8 +364,11 @@ def _fused_batch_program(engine: "FusedFrameEngine"):
     (~4 GB of pure re-read traffic per B=128 dispatch, measured ~16% of
     the program); flat, the kernel auto-sizes its batch tile
     (ops/fused_decode._auto_batch_tile) and reads the basis B*8/128 times
-    instead. Row-independent math — outputs are bit-identical to the
-    vmapped form (tests/test_pipeline.py::test_process_batch_matches_single).
+    instead. Row-independent math, so the flat tail computes the same
+    values as the vmapped form — tested to 1e-3 on the CPU mesh
+    (tests/test_pipeline.py::test_process_batch_matches_single, XLA codec
+    path) and the Pallas tile equivalence at bt>8 in interpret mode
+    (tests/test_ops.py::test_auto_tile_large_batch).
     """
     head, tail = engine._head_fn, engine._tail_fn
     f_max = engine.max_faces

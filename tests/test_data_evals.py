@@ -64,6 +64,35 @@ class TestTransforms:
             BorderOcclusion._apply_pattern(img, "rdown"),
             BorderOcclusion._apply_pattern(img, "lup"))
 
+    def test_hue_matches_pil_exactly(self):
+        """adjust_hue vs the reference's PIL path (utils/ddfa.py:64-84):
+        RGB->HSV, uint8-wraparound H shift, HSV->RGB — byte-exact (the
+        conversions are verified over the full 256^3 cubes; this exercises
+        the composition on random images)."""
+        from PIL import Image
+        from synergynet_tpu.data.transforms import adjust_hue
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (64, 64, 3), np.uint8)
+        for f in (-0.5, -0.2, 0.0, 0.13, 0.4, 0.5):
+            h, s, v = Image.fromarray(img).convert("HSV").split()
+            np_h = np.array(h, np.uint8)
+            with np.errstate(over="ignore"):
+                np_h += np.uint8(int(f * 255) % 256)
+            want = np.array(Image.merge(
+                "HSV", (Image.fromarray(np_h, "L"), s, v)).convert("RGB"))
+            np.testing.assert_array_equal(adjust_hue(img, f), want)
+        with pytest.raises(ValueError):
+            adjust_hue(img, 0.6)
+
+    def test_jitter_hue_enabled(self):
+        img = np.random.default_rng(4).integers(0, 255, (20, 20, 3), np.uint8)
+        j = ColorJitter(0.0, 0.0, 0.0, hue=0.4)
+        out = j(img, np.random.default_rng(5))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert not np.array_equal(out, img)
+        # default-off keeps the reference recipe's behavior (3-arg call)
+        assert ColorJitter().hue == 0.0
+
     def test_jitter_deterministic_given_rng(self):
         img = np.random.default_rng(0).integers(0, 255, (20, 20, 3), np.uint8)
         j = ColorJitter()
