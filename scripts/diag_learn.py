@@ -13,19 +13,22 @@ small scale on CPU:
   H3 no generalization (memorization / task too hard) ->
        eval-mode on train crops is GOOD, held-out crops bad.
 
-Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-     python scripts/diag_learn.py
+Run: python scripts/diag_learn.py            # CPU 8-device mesh (default)
+     DIAG_PLATFORM=tpu python scripts/diag_learn.py   # real chip (~100x
+     faster per step than this host's single core; needed for recipe-scale
+     ablations DIAG_DTYPE=bfloat16 DIAG_AUGMENT=1 DIAG_LR=0.08)
 """
 
 import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+PLATFORM = os.environ.get("DIAG_PLATFORM", "cpu")
+if PLATFORM == "cpu":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -33,7 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_platforms", "cpu")
+if PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 from synergynet_tpu.core.profiling import enable_compile_cache
 enable_compile_cache("/tmp/synergy_jax_cache", min_compile_secs=5.0)
@@ -98,8 +102,10 @@ def main():
     variables = {"params": jax.device_get(state.params),
                  "batch_stats": jax.device_get(state.batch_stats)}
 
-    @jax.jit
-    def fwd(images_u8, train_mode, std):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("train_mode",))
+    def fwd(images_u8, std, train_mode):
         x = (images_u8.astype(jnp.float32) - 127.5) / std
         if train_mode:
             (p62, _), _ = model.apply(variables, x, train=True,
@@ -108,9 +114,8 @@ def main():
             p62, _ = model.apply(variables, x, train=False)
         return p62.astype(jnp.float32)
 
-    fwd_eval = jax.jit(lambda im, std: fwd(im, False, std),
-                       static_argnums=())
-    # simple batched extract
+    # batched extract (jitted — the per-op dispatch of a bare model.apply
+    # is unusable over the remote-TPU tunnel)
     def extract(images_u8, train_mode=False, std=128.0):
         out = []
         for s in range(0, len(images_u8), BATCH):
@@ -119,12 +124,8 @@ def main():
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            p = model.apply(
-                variables,
-                (jnp.asarray(chunk).astype(jnp.float32) - 127.5) / std,
-                train=train_mode,
-                mutable=["batch_stats"] if train_mode else False)
-            p62 = (p[0][0] if train_mode else p[0])
+            p62 = fwd(jnp.asarray(chunk), jnp.float32(std),
+                      train_mode=train_mode)
             out.append(np.asarray(p62, np.float32)[:BATCH - pad])
         return np.concatenate(out)
 
