@@ -42,13 +42,26 @@ def _paint_landmarks(images: np.ndarray, lmk: np.ndarray) -> None:
 
 
 def make_crops_with_params(n: int, pack: Optional[ParamPack] = None,
-                           seed: int = 0, size: int = 120
+                           seed: int = 0, size: int = 120,
+                           appearance: str = "dots"
                            ) -> Dict[str, np.ndarray]:
-    """n synthetic (crop, param62) pairs + decoded GT landmarks."""
+    """n synthetic (crop, param62) pairs + decoded GT landmarks.
+
+    ``appearance``: "dots" paints only the 68 landmarks over noise (sparse
+    signal; a global-avgpool CNN plateaus at mean-collapse on it);
+    "shaded" renders the lit deformed surface itself + dots
+    (:mod:`synergynet_tpu.data.shaded`) — the dense-appearance task that
+    actually exercises learning.
+    """
     import jax.numpy as jnp
     from synergynet_tpu.mm3d import decode_landmarks
 
     pack = pack or load_param_pack()
+    if appearance == "shaded":
+        from synergynet_tpu.data.shaded import make_shaded_crops
+        return make_shaded_crops(n, pack, seed=seed)
+    if appearance != "dots":
+        raise ValueError(f"unknown appearance {appearance!r}")
     rng = np.random.default_rng(seed)
     params = sample_params(rng, n)
     lmk = np.asarray(decode_landmarks(jnp.asarray(params), pack))
@@ -64,7 +77,8 @@ def make_crops_with_params(n: int, pack: Optional[ParamPack] = None,
 
 
 def make_synthetic_aflw2000(n: int, pack: Optional[ParamPack] = None,
-                            seed: int = 1) -> Dict[str, np.ndarray]:
+                            seed: int = 1, appearance: str = "dots"
+                            ) -> Dict[str, np.ndarray]:
     """AFLW2000-protocol eval pack: crops, GT 68-pt landmarks in original
     image coordinates, roi boxes, GT yaw list, and pitch-yaw-roll pose GT
     with the |yaw|>99 skip indices (reference benchmark.py:183-216)."""
@@ -72,7 +86,7 @@ def make_synthetic_aflw2000(n: int, pack: Optional[ParamPack] = None,
     from synergynet_tpu.mm3d import pose_from_param, rescale_to_roi
 
     pack = pack or load_param_pack()
-    d = make_crops_with_params(n, pack, seed=seed)
+    d = make_crops_with_params(n, pack, seed=seed, appearance=appearance)
     rng = np.random.default_rng(seed + 1)
 
     # Random original-image rois the crops supposedly came from.

@@ -44,6 +44,13 @@ N_PARAM = N_POSE + N_SHP + N_EXP  # 62
 N_LMK = 68             # sparse landmarks
 STD_SIZE = 120         # canonical crop size (reference utils/params.py:34)
 
+# Synthetic-pack vertex-grid layout (make_synthetic_assets): the first
+# GRID_H*GRID_W vertices are a row-major surface grid; the remaining
+# NVER - GRID_H*GRID_W are duplicated rim vertices. The shaded-surface
+# synthesizer (data/shaded.py) keys off this topology.
+GRID_H = 205
+GRID_W = 259
+
 _ASSET_KEYS = (
     "u_shp", "u_exp", "w_shp", "w_exp", "keypoints", "param_mean",
     "param_std", "tri",
@@ -106,7 +113,7 @@ def make_synthetic_assets(seed: int = 0) -> dict:
     rng = np.random.default_rng(seed)
 
     # Vertex grid: H*W <= NVER, leftover vertices duplicated at the rim.
-    H, W = 205, 259                       # 53,095 grid vertices
+    H, W = GRID_H, GRID_W                 # 53,095 grid vertices
     n_grid = H * W
     vv, uu = np.meshgrid(np.linspace(0, 1, H), np.linspace(0, 1, W),
                          indexing="ij")
