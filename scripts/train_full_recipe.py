@@ -36,9 +36,24 @@ def main():
                     help="device-resident mode: upload the dataset to HBM "
                          "once and run one program per epoch (the dataset "
                          "must fit device memory; 128K crops = 5.5 GB)")
+    ap.add_argument("--generative", action="store_true",
+                    help="device-GENERATIVE resident mode: only the (n, 62) "
+                         "params upload; every batch's crops are rendered "
+                         "on device inside the epoch program (shaded "
+                         "appearance; supports the full 680K-crop scale "
+                         "single-chip — 170 MB resident vs 29 GB)")
+    ap.add_argument("--appearance", choices=("dots", "shaded"),
+                    default="shaded",
+                    help="synthetic crop appearance (shaded = lit surface "
+                         "render, the learnable dense-signal task)")
+    ap.add_argument("--dtype", choices=("bfloat16", "float32"),
+                    default="bfloat16")
     ap.add_argument("--snapshot-dir", default="/tmp/syn_full_recipe")
     ap.add_argument("--out", default="docs/FULL_RECIPE_RUN.json")
     args = ap.parse_args()
+    if args.generative and args.appearance != "shaded":
+        ap.error("--generative renders on device; requires "
+                 "--appearance shaded")
 
     import jax
     # Expose the host CPU backend alongside the TPU so bulk data prep
@@ -66,14 +81,24 @@ def main():
     cfg.train.snapshot_dir = args.snapshot_dir
     cfg.data.synthetic_size = args.size
     cfg.data.device_augment = True            # fused augmentation (bench_train best cfg)
+    cfg.data.appearance = args.appearance
+    cfg.model.compute_dtype = args.dtype
 
     t0 = time.time()
-    trainer = Trainer(cfg, eval_hook=make_synthetic_eval_hook(n=1024))
+    trainer = Trainer(cfg, eval_hook=make_synthetic_eval_hook(
+        n=1024, appearance=args.appearance))
     setup_s = time.time() - t0
     print(f"setup (incl. 680K-param decode) {setup_s:.1f}s", flush=True)
 
     t1 = time.time()
-    if args.resident:
+    if args.generative:
+        from synergynet_tpu.train import fit_resident_generative
+        history = fit_resident_generative(
+            trainer, trainer.dataset.params,
+            log_fn=lambda e, m: print(
+                f"[epoch {e}] loss {m['loss_total']:.4f} "
+                f"skipped {m['skipped']:.3f}", flush=True))
+    elif args.resident:
         import numpy as np
         from synergynet_tpu.data import GeneratedCropDataset
         from synergynet_tpu.train import fit_resident
@@ -106,7 +131,10 @@ def main():
                    "dataset_size": args.size, "base_lr": 0.08,
                    "milestones": [48, 64], "warmup": 5,
                    "device_resident": args.resident,
-                   "device_augment": True, "compute_dtype": "bfloat16"},
+                   "device_generative": args.generative,
+                   "appearance": args.appearance,
+                   "device_augment": True,
+                   "compute_dtype": args.dtype},
         "wall_seconds_train": round(train_s, 1),
         "wall_seconds_setup": round(setup_s, 1),
         "reference_wall_hours_rtx3090": 6.0,

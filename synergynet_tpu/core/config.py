@@ -60,6 +60,11 @@ class DataConfig:
     filelists_train: Optional[str] = None
     param_fp_train: Optional[str] = None
     synthetic_size: int = 2048          # fallback when no real data present
+    # Synthetic appearance: "dots" (68 landmark dots over noise — sparse,
+    # near-unlearnable for a global-avgpool CNN) or "shaded" (lit render
+    # of the deformed surface + dots, data/shaded.py — dense appearance,
+    # the distributional analogue of real 300W-LP crops).
+    appearance: str = "dots"
     jitter: Tuple[float, float, float] = (0.4, 0.4, 0.4)
     border: int = 5
     occlusion_prob: float = 0.01

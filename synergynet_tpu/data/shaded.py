@@ -128,10 +128,14 @@ def shade_grid(v: jnp.ndarray, light: jnp.ndarray) -> jnp.ndarray:
     return col.astype(jnp.uint8).reshape(v.shape[0], -1, 3)
 
 
-def sample_lights(key: jax.Array, b: int) -> jnp.ndarray:
-    """Per-sample light directions in a cone around +z."""
-    lx, ly = jax.random.uniform(key, (2, b), minval=-0.6, maxval=0.6)
-    l = jnp.stack([lx, ly, jnp.ones_like(lx)], axis=1)
+def sample_lights(keys: jnp.ndarray) -> jnp.ndarray:
+    """Per-crop light directions in a cone around +z. keys: (B,) PRNG keys."""
+
+    def one(k):
+        lx, ly = jax.random.uniform(k, (2,), minval=-0.6, maxval=0.6)
+        return jnp.stack([lx, ly, 1.0])
+
+    l = jax.vmap(one)(keys)
     return l / jnp.linalg.norm(l, axis=1, keepdims=True)
 
 
@@ -176,19 +180,30 @@ def _paint_dots_one(img_flat: jnp.ndarray, lmk: jnp.ndarray, size: int
 
 @functools.partial(jax.jit, static_argnames=("size",))
 def _render_shaded(params: jnp.ndarray, key: jax.Array, spec: ShadedSpec,
-                   pack: ParamPack, lmk: jnp.ndarray, size: int = STD_SIZE
+                   pack: ParamPack, lmk: jnp.ndarray,
+                   idx: Optional[jnp.ndarray] = None, size: int = STD_SIZE
                    ) -> jnp.ndarray:
     b = params.shape[0]
     v = decode_grid(params, spec, pack)                  # (B, 3, H, W)
-    k_light, k_base, k_noise = jax.random.split(key, 3)
-    colors = shade_grid(v, sample_lights(k_light, b))    # (B, Ng, 3) uint8
+
+    # Lighting/background randomness is keyed per crop by fold_in(key, idx)
+    # so generation is bit-stable per (key, index) regardless of batch
+    # composition — the property the dataset contract and the on-device
+    # generative epochs (train/resident.py) both rely on.
+    if idx is None:
+        idx = jnp.arange(b, dtype=jnp.int32)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+    colors = shade_grid(v, sample_lights(keys))          # (B, Ng, 3) uint8
 
     # Background: per-crop base level [40, 90) + per-pixel noise [0, 30),
     # the data/synthetic.py background statistics.
-    base = jax.random.randint(k_base, (b, 1, 3), 40, 90, jnp.uint8)
-    noise = jax.random.randint(k_noise, (b, size * size, 3), 0, 30,
-                               jnp.uint8)
-    bg = base + noise
+    def bg_one(k):
+        kb, kn = jax.random.split(k)
+        base = jax.random.randint(kb, (1, 3), 40, 90, jnp.uint8)
+        return base + jax.random.randint(kn, (size * size, 3), 0, 30,
+                                         jnp.uint8)
+
+    bg = jax.vmap(bg_one)(keys)
 
     flat = v.reshape(b, 3, -1)
     xy = flat[:, :2].transpose(0, 2, 1)                  # (B, Ng, 2)
@@ -207,13 +222,18 @@ def _render_shaded(params: jnp.ndarray, key: jax.Array, spec: ShadedSpec,
 
 def render_shaded_crops(params: jnp.ndarray, key: jax.Array,
                         pack: ParamPack, spec: Optional[ShadedSpec] = None,
+                        idx: Optional[jnp.ndarray] = None,
                         size: int = STD_SIZE) -> jnp.ndarray:
     """Whitened (B, 62) params -> (B, size, size, 3) BGR uint8 crops:
-    lit rendering of the deformed surface + landmark dots over noise."""
+    lit rendering of the deformed surface + landmark dots over noise.
+
+    ``idx``: optional per-crop indices keying lighting/background
+    (bit-stable per (key, index); defaults to 0..B-1)."""
     from synergynet_tpu.mm3d.codec import decode_landmarks
     spec = spec or build_shaded_spec(pack)
     lmk = decode_landmarks(jnp.asarray(params), pack)
     return _render_shaded(jnp.asarray(params), key, spec, pack, lmk,
+                          idx=None if idx is None else jnp.asarray(idx),
                           size=size)
 
 
@@ -235,11 +255,14 @@ def make_shaded_crops(n: int, pack: Optional[ParamPack] = None,
     for s in range(0, n, batch):
         e = min(s + batch, n)
         pad = batch - (e - s)
-        chunk = np.concatenate([params[s:e], params[:pad]]) if pad else \
-            params[s:e]
-        lchunk = np.concatenate([lmk[s:e], lmk[:pad]]) if pad else lmk[s:e]
-        img = _render_shaded(jnp.asarray(chunk),
-                             jax.random.fold_in(key, s),
-                             spec, pack, jnp.asarray(lchunk))
+        if pad:
+            chunk = np.concatenate([params[s:e],
+                                    np.repeat(params[:1], pad, 0)])
+            lchunk = np.concatenate([lmk[s:e], np.repeat(lmk[:1], pad, 0)])
+        else:
+            chunk, lchunk = params[s:e], lmk[s:e]
+        img = _render_shaded(jnp.asarray(chunk), key, spec, pack,
+                             jnp.asarray(lchunk),
+                             idx=jnp.arange(s, s + batch, dtype=jnp.int32))
         out[s:e] = np.asarray(img)[:e - s]
     return {"images": out, "params": params, "landmarks": lmk}

@@ -130,12 +130,15 @@ class GeneratedCropDataset:
 
     def __init__(self, n: int, pack: Optional[ParamPack] = None,
                  seed: int = 0, size: int = 120, transform=None,
-                 decode_chunk: int = 65536):
+                 decode_chunk: int = 65536, appearance: str = "dots"):
         import contextlib
 
         import jax
         import jax.numpy as jnp
         from synergynet_tpu.mm3d import decode_landmarks
+
+        if appearance not in ("dots", "shaded"):
+            raise ValueError(f"unknown appearance {appearance!r}")
 
         pack = pack or load_param_pack()
         rng = np.random.default_rng(seed)
@@ -160,6 +163,11 @@ class GeneratedCropDataset:
         self.seed = seed
         self.size = size
         self.transform = transform
+        self.appearance = appearance
+        if appearance == "shaded":
+            from synergynet_tpu.data.shaded import build_shaded_spec
+            self._pack = pack
+            self._spec = build_shaded_spec(pack)
         # Background bank: per-crop background = one of 997 precomputed
         # base-plus-noise rows (43 MB) picked by index, so generation is a
         # single row gather + landmark paint. Hashing fresh noise per pixel
@@ -181,10 +189,51 @@ class GeneratedCropDataset:
         sustains tens of thousands per second."""
         idx = np.asarray(indices, np.int64)
         b, size = len(idx), self.size
+        if self.appearance == "shaded":
+            return self._generate_shaded(idx)
         images = self._bg_bank[idx % self._bg_bank.shape[0]
                                ].reshape(b, size, size, 3)
         _paint_landmarks(images, self.lmk[idx])
         return images
+
+    def _generate_shaded(self, idx: np.ndarray,
+                         chunk: int = 256) -> np.ndarray:
+        """Host-side shaded render, pinned to the CPU backend (never
+        competes with the training chip; the fast path for shaded data is
+        on-device generation, train/resident.py generative mode).
+
+        Every dispatch renders exactly ``chunk`` crops (short fetches are
+        padded): one fixed program shape means one fixed matmul tiling, so
+        a crop's pixels are bit-stable regardless of how the fetch batches
+        indices — the dataset's bit-per-(seed, index) contract. Rendering
+        the same index under a different batch shape may legally round
+        differently in uint8."""
+        import contextlib
+
+        import jax
+        import jax.numpy as jnp
+        from synergynet_tpu.data.shaded import _render_shaded
+
+        try:
+            ctx = jax.default_device(jax.devices("cpu")[0])
+        except Exception:
+            ctx = contextlib.nullcontext()
+        key = jax.random.PRNGKey(self.seed)
+        b, size = len(idx), self.size
+        out = np.empty((b, size, size, 3), np.uint8)
+        with ctx:
+            for s in range(0, b, chunk):
+                e = min(s + chunk, b)
+                pad = chunk - (e - s)
+                cidx = np.concatenate(
+                    [idx[s:e], np.full(pad, idx[0], idx.dtype)]) if pad \
+                    else idx[s:e]
+                img = _render_shaded(
+                    jnp.asarray(self.params[cidx]), key, self._spec,
+                    self._pack, jnp.asarray(self.lmk[cidx]),
+                    idx=jnp.asarray(cidx, jnp.int32))
+                out[s:e] = np.asarray(img)[:e - s]
+        return out
 
     def fetch_batch(self, indices: np.ndarray):
         """Vectorized (images, params) batch — the PrefetchLoader fast path

@@ -10,5 +10,7 @@ from synergynet_tpu.train.trainer import (  # noqa: F401
     Trainer, build_dataset, make_synthetic_eval_hook,
 )
 from synergynet_tpu.train.resident import (  # noqa: F401
-    fit_resident, make_epoch_program, shard_resident_arrays,
+    fit_resident, fit_resident_generative, make_epoch_program,
+    make_generative_epoch_program, shard_resident_arrays,
+    shard_resident_params,
 )

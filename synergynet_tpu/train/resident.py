@@ -96,6 +96,94 @@ def make_epoch_program(model, pack: ParamPack, optimizer, mesh,
                    static_argnums=(4,))
 
 
+def make_generative_epoch_program(model, pack: ParamPack, optimizer, mesh,
+                                  batch_size: int,
+                                  augment: Optional[Callable] = None,
+                                  bn_groups: int = 1, accum_steps: int = 1):
+    """Device-*generative* resident training: only the (D, n_local, 62)
+    whitened parameters live in HBM; every batch's crops are SYNTHESIZED
+    on device inside the epoch program (``data/shaded.py``'s lit-surface
+    render: grid decode -> shading -> z-buffer splat -> landmark dots).
+
+    This is what makes the reference's full ~680K-crop scale
+    (reference README.md:111) single-chip trainable here: 680K uint8 crops
+    are 29 GB (>HBM), but their parameters are 170 MB, and the render adds
+    only a few ms/batch of VPU work next to the ~60 ms train step.
+
+    Geometry (params -> surface) is fixed per index; lighting and
+    background noise re-roll per epoch (keyed by fold_in(epoch_key, index))
+    — the synthesis-side analogue of photometric augmentation. The host
+    syncs once per epoch, exactly like :func:`make_epoch_program`.
+
+    Returns ``epoch(state, params62, key) -> (state, metrics)`` with
+    ``params62`` sharded ``P('data')``.
+    """
+    from synergynet_tpu.data.shaded import (_render_shaded,
+                                            build_shaded_spec)
+    from synergynet_tpu.mm3d.codec import decode_landmarks
+
+    spec = build_shaded_spec(pack)
+    step = make_train_step(model, pack, optimizer, augment=augment,
+                           bn_groups=bn_groups, accum_steps=accum_steps)
+    d = mesh.shape[meshlib.DATA_AXIS]
+    if batch_size % d:
+        raise ValueError(f"batch {batch_size} not divisible by data={d}")
+    b_local = batch_size // d
+
+    def epoch(state, params62, key):
+        nl = params62.shape[1]
+        steps = (d * nl) // batch_size
+        shard_keys = jax.random.split(jax.random.fold_in(key, 17), d)
+        perms = jax.vmap(lambda k: jax.random.permutation(k, nl))(shard_keys)
+        perms = lax.with_sharding_constraint(
+            perms, NamedSharding(mesh, P(meshlib.DATA_AXIS)))
+        render_key = jax.random.fold_in(key, 23)
+        row0 = jnp.arange(d, dtype=jnp.int32)[:, None] * nl
+
+        def run_step(i, state):
+            idx = lax.dynamic_slice_in_dim(perms, i * b_local, b_local, 1)
+            btgt = jnp.take_along_axis(params62, idx[:, :, None], axis=1
+                                       ).reshape(batch_size, 62)
+            gidx = (row0 + idx).reshape(batch_size)   # global crop indices
+            lmk = decode_landmarks(btgt, pack)
+            images = _render_shaded(btgt, render_key, spec, pack, lmk,
+                                    idx=gidx)
+            return step(state, images, btgt, jax.random.fold_in(key, i))
+
+        state, m0 = run_step(0, state)
+
+        def body(i, carry):
+            state, acc = carry
+            state, m = run_step(i, state)
+            return state, jax.tree.map(jnp.add, acc, m)
+
+        state, acc = lax.fori_loop(1, steps, body, (state, m0))
+        return state, jax.tree.map(lambda a: a / steps, acc)
+
+    rep = meshlib.replicated(mesh)
+    dsh = NamedSharding(mesh, P(meshlib.DATA_AXIS))
+    return jax.jit(epoch,
+                   in_shardings=(rep, dsh, rep),
+                   out_shardings=(rep, rep),
+                   donate_argnums=(0,))
+
+
+def shard_resident_params(mesh, params62: np.ndarray) -> jax.Array:
+    """Upload only the (n, 62) whitened parameters, sharded over ``data``
+    — the generative path's entire resident dataset."""
+    d = mesh.shape[meshlib.DATA_AXIS]
+    n = (len(params62) // d) * d
+    tgts = params62[:n].reshape(d, n // d, params62.shape[1]
+                                ).astype(np.float32)
+    dsh = NamedSharding(mesh, P(meshlib.DATA_AXIS))
+    nproc = jax.process_count()
+    if nproc > 1:
+        pid = jax.process_index()
+        rows = slice(pid * d // nproc, (pid + 1) * d // nproc)
+        return jax.make_array_from_process_local_data(dsh, tgts[rows])
+    return jax.device_put(tgts, dsh)
+
+
 def shard_resident_arrays(mesh, images: np.ndarray, params62: np.ndarray
                           ) -> Tuple[jax.Array, jax.Array, Tuple[int, ...]]:
     """Upload (n, H, W, C) crops + (n, 62) params once, flattened to the
@@ -120,22 +208,12 @@ def shard_resident_arrays(mesh, images: np.ndarray, params62: np.ndarray
     return (jax.device_put(imgs, dsh), jax.device_put(tgts, dsh), hwc)
 
 
-def fit_resident(trainer, images: np.ndarray, params62: np.ndarray,
-                 epochs: Optional[int] = None,
-                 log_fn: Optional[Callable] = None) -> Dict[int, dict]:
-    """Drive a :class:`synergynet_tpu.train.trainer.Trainer`'s state through
-    device-resident epochs (same checkpoints/eval hooks/history contract as
+def _drive_epochs(trainer, epochs: Optional[int], log_fn,
+                  run_one: Callable) -> Dict[int, dict]:
+    """Shared epoch loop (checkpoints/eval hooks/history contract of
     ``Trainer.fit``, one dispatch + one metric sync per epoch)."""
-    cfg = trainer.cfg
-    t = cfg.train
+    t = trainer.cfg.train
     epochs = epochs if epochs is not None else t.epochs
-    epoch_fn = make_epoch_program(trainer.model, trainer.pack,
-                                  trainer.optimizer, trainer.mesh,
-                                  t.batch_size, augment=trainer.augment,
-                                  bn_groups=getattr(trainer, "bn_groups", 1),
-                                  accum_steps=t.accum_steps)
-    g_imgs, g_tgts, hwc = shard_resident_arrays(trainer.mesh, images,
-                                                params62)
     key = jax.random.PRNGKey(t.seed)
     history: Dict[int, dict] = {}
     if t.test_initial and trainer.eval_hook:
@@ -143,9 +221,8 @@ def fit_resident(trainer, images: np.ndarray, params62: np.ndarray,
     epoch = trainer.start_epoch
     try:
         for epoch in range(trainer.start_epoch, epochs + 1):
-            trainer.state, metrics = epoch_fn(
-                trainer.state, g_imgs, g_tgts,
-                jax.random.fold_in(key, epoch), hwc)
+            trainer.state, metrics = run_one(
+                trainer.state, jax.random.fold_in(key, epoch))
             host = {k: float(v) for k, v in metrics.items()}
             history[epoch] = host
             if log_fn:
@@ -158,3 +235,41 @@ def fit_resident(trainer, images: np.ndarray, params62: np.ndarray,
         trainer.emergency_save(epoch - 1)
         raise
     return history
+
+
+def fit_resident(trainer, images: np.ndarray, params62: np.ndarray,
+                 epochs: Optional[int] = None,
+                 log_fn: Optional[Callable] = None) -> Dict[int, dict]:
+    """Drive a :class:`synergynet_tpu.train.trainer.Trainer`'s state through
+    device-resident epochs (same checkpoints/eval hooks/history contract as
+    ``Trainer.fit``, one dispatch + one metric sync per epoch)."""
+    t = trainer.cfg.train
+    epoch_fn = make_epoch_program(trainer.model, trainer.pack,
+                                  trainer.optimizer, trainer.mesh,
+                                  t.batch_size, augment=trainer.augment,
+                                  bn_groups=getattr(trainer, "bn_groups", 1),
+                                  accum_steps=t.accum_steps)
+    g_imgs, g_tgts, hwc = shard_resident_arrays(trainer.mesh, images,
+                                                params62)
+    return _drive_epochs(
+        trainer, epochs, log_fn,
+        lambda state, k: epoch_fn(state, g_imgs, g_tgts, k, hwc))
+
+
+def fit_resident_generative(trainer, params62: np.ndarray,
+                            epochs: Optional[int] = None,
+                            log_fn: Optional[Callable] = None
+                            ) -> Dict[int, dict]:
+    """Device-generative resident training: upload only the whitened
+    parameters; crops are synthesized on device every step
+    (:func:`make_generative_epoch_program`). The path that runs the full
+    680K-crop reference scale on one chip."""
+    t = trainer.cfg.train
+    epoch_fn = make_generative_epoch_program(
+        trainer.model, trainer.pack, trainer.optimizer, trainer.mesh,
+        t.batch_size, augment=trainer.augment,
+        bn_groups=getattr(trainer, "bn_groups", 1),
+        accum_steps=t.accum_steps)
+    g_tgts = shard_resident_params(trainer.mesh, params62)
+    return _drive_epochs(trainer, epochs, log_fn,
+                         lambda state, k: epoch_fn(state, g_tgts, k))

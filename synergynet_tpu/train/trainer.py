@@ -61,8 +61,10 @@ def build_dataset(cfg: Config):
         # stream bit-stable crops generated per index instead.
         from synergynet_tpu.data import GeneratedCropDataset
         return GeneratedCropDataset(d.synthetic_size, seed=cfg.train.seed,
-                                    transform=transform)
-    syn = make_crops_with_params(d.synthetic_size, seed=cfg.train.seed)
+                                    transform=transform,
+                                    appearance=d.appearance)
+    syn = make_crops_with_params(d.synthetic_size, seed=cfg.train.seed,
+                                 appearance=d.appearance)
     return ArrayDataset(syn["images"], syn["params"], transform=transform)
 
 
@@ -238,12 +240,14 @@ class Trainer:
 
 
 def make_synthetic_eval_hook(n: int = 256, seed: int = 11,
-                             std: float = 130.0) -> Callable:
+                             std: float = 130.0,
+                             appearance: str = "dots") -> Callable:
     """In-train validation on the synthetic AFLW2000 pack (std=130 mirrors
-    the reference's in-training normalization — quirk Q6)."""
+    the reference's in-training normalization — quirk Q6). ``appearance``
+    must match the training data's (data/shaded.py vs dot-painted)."""
     from synergynet_tpu.data import make_synthetic_aflw2000, TestTransform
     from synergynet_tpu.evals import benchmark_pipeline
-    ep = make_synthetic_aflw2000(n, seed=seed)
+    ep = make_synthetic_aflw2000(n, seed=seed, appearance=appearance)
     tf = TestTransform()
 
     def hook(trainer: Trainer) -> dict:

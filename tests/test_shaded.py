@@ -78,6 +78,53 @@ def test_make_shaded_crops_contract(pack):
     np.testing.assert_array_equal(d2["params"], d["params"])
 
 
+def test_generative_epoch_program_trains_on_mesh(pack):
+    """Device-generative resident training: params-only in HBM, crops
+    rendered on device inside the epoch program, sharded over the mesh."""
+    import optax
+    from synergynet_tpu.core import make_mesh, replicate
+    from synergynet_tpu.nn import SynergyNet
+    from synergynet_tpu.train import (create_train_state,
+                                      make_generative_epoch_program,
+                                      shard_resident_params)
+    mesh = make_mesh(n_model=2)                     # 4x2
+    model = SynergyNet(arch="mobilenet_v2_0.5")
+    opt = optax.sgd(1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0), opt)
+    state = replicate(mesh, state)
+    n, b = 64, 16
+    params = sample_params(np.random.default_rng(0), n)
+    g_tgts = shard_resident_params(mesh, params)
+    assert g_tgts.shape == (4, 16, 62)
+    epoch_fn = make_generative_epoch_program(model, pack, opt, mesh, b)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for e in range(2):
+        state, metrics = epoch_fn(state, g_tgts, jax.random.fold_in(key, e))
+        losses.append(float(metrics["loss_total"]))
+        assert float(metrics["skipped"]) == 0.0
+    assert int(jax.device_get(state.step)) == 8
+    assert np.isfinite(losses).all()
+    assert losses[1] < losses[0]
+
+
+def test_generated_dataset_shaded_contract(pack):
+    """GeneratedCropDataset(appearance='shaded'): bit-stable per (seed,
+    index), batch == per-item generation, same item contract."""
+    from synergynet_tpu.data import GeneratedCropDataset
+    ds = GeneratedCropDataset(32, pack, seed=4, appearance="shaded")
+    img_a = ds.generate_images(np.asarray([3, 17, 5]))
+    img_b = ds.generate_images(np.asarray([17, 3]))
+    np.testing.assert_array_equal(img_a[0], img_b[1])
+    np.testing.assert_array_equal(img_a[1], img_b[0])
+    item_img, item_p = ds[17]
+    np.testing.assert_array_equal(item_img, img_b[0])
+    np.testing.assert_array_equal(item_p, ds.params[17])
+    ds2 = GeneratedCropDataset(32, pack, seed=4, appearance="shaded")
+    np.testing.assert_array_equal(ds2.generate_images(np.asarray([3])),
+                                  img_a[:1])
+
+
 def test_splat_zbuffer_semantics():
     """The splat primitive: nearest-z point wins its pixel, exact ties
     resolve to exactly one winner, out-of-bounds points are dropped, and
