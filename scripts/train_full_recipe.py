@@ -48,6 +48,14 @@ def main():
                          "render, the learnable dense-signal task)")
     ap.add_argument("--dtype", choices=("bfloat16", "float32"),
                     default="bfloat16")
+    ap.add_argument("--accum-steps", type=int, default=1,
+                    help="run the bs1024 batch as N sequential microbatches "
+                         "(exact-mean gradients; bs1024 measured fastest as "
+                         "2 x bs512, docs/TRAINING.md)")
+    ap.add_argument("--save-val-freq", type=int, default=20,
+                    help="checkpoint + in-train AFLW2000-protocol eval "
+                         "every N epochs")
+    ap.add_argument("--eval-n", type=int, default=1024)
     ap.add_argument("--snapshot-dir", default="/tmp/syn_full_recipe")
     ap.add_argument("--out", default="docs/FULL_RECIPE_RUN.json")
     args = ap.parse_args()
@@ -77,7 +85,8 @@ def main():
     cfg.train.warmup = 5
     cfg.train.epochs = args.epochs
     cfg.train.print_freq = 100
-    cfg.train.save_val_freq = 20
+    cfg.train.save_val_freq = args.save_val_freq
+    cfg.train.accum_steps = args.accum_steps
     cfg.train.snapshot_dir = args.snapshot_dir
     cfg.data.synthetic_size = args.size
     cfg.data.device_augment = True            # fused augmentation (bench_train best cfg)
@@ -86,7 +95,7 @@ def main():
 
     t0 = time.time()
     trainer = Trainer(cfg, eval_hook=make_synthetic_eval_hook(
-        n=1024, appearance=args.appearance))
+        n=args.eval_n, appearance=args.appearance))
     setup_s = time.time() - t0
     print(f"setup (incl. 680K-param decode) {setup_s:.1f}s", flush=True)
 
@@ -134,6 +143,7 @@ def main():
                    "device_generative": args.generative,
                    "appearance": args.appearance,
                    "device_augment": True,
+                   "accum_steps": args.accum_steps,
                    "compute_dtype": args.dtype},
         "wall_seconds_train": round(train_s, 1),
         "wall_seconds_setup": round(setup_s, 1),
