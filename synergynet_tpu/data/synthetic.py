@@ -143,23 +143,9 @@ class GeneratedCropDataset:
         pack = pack or load_param_pack()
         rng = np.random.default_rng(seed)
         self.params = sample_params(rng, n)
-        n_lmk = len(pack.keypoints) // 3
-        lmk = np.empty((n, 3, n_lmk), np.float32)
-        # Bulk GT decode is host data prep — pin it to the CPU backend when
-        # one exists (over the remote-TPU tunnel each fresh chunk shape
-        # costs minutes of compile; the 131K-crop recipe's setup was ~13
-        # min of mostly this). Single-platform TPU jobs fall through to
-        # the default device.
-        try:
-            ctx = jax.default_device(jax.devices("cpu")[0])
-        except Exception:
-            ctx = contextlib.nullcontext()
-        with ctx:
-            for s in range(0, n, decode_chunk):
-                e = min(s + decode_chunk, n)
-                lmk[s:e] = np.asarray(
-                    decode_landmarks(jnp.asarray(self.params[s:e]), pack))
-        self.lmk = lmk
+        self._lmk = None
+        self._decode_chunk = decode_chunk
+        self._lmk_pack = pack
         self.seed = seed
         self.size = size
         self.transform = transform
@@ -178,6 +164,39 @@ class GeneratedCropDataset:
         base = bank_rng.integers(40, 90, (997, 1, 3))
         noise = bank_rng.integers(0, 30, (997, size * size, 3))
         self._bg_bank = (base + noise).astype(np.uint8).reshape(997, -1)
+
+    @property
+    def lmk(self) -> np.ndarray:
+        """Bulk GT landmark decode, LAZY: the device-generative training
+        path (train/resident.py) reads only ``params`` and decodes
+        landmarks on device inside the epoch program, so eagerly decoding
+        680K landmarks on the host (~minutes per 100K over this
+        environment's single CPU core) would be pure setup waste. Host
+        crop generation triggers the decode on first access. Pinned to
+        the CPU backend when one exists (over the remote-TPU tunnel each
+        fresh chunk shape costs minutes of compile; the 131K-crop
+        recipe's setup was ~13 min of mostly this)."""
+        if self._lmk is None:
+            import contextlib
+
+            import jax
+            import jax.numpy as jnp
+            from synergynet_tpu.mm3d import decode_landmarks
+
+            pack, n = self._lmk_pack, len(self.params)
+            n_lmk = len(pack.keypoints) // 3
+            lmk = np.empty((n, 3, n_lmk), np.float32)
+            try:
+                ctx = jax.default_device(jax.devices("cpu")[0])
+            except Exception:
+                ctx = contextlib.nullcontext()
+            with ctx:
+                for s in range(0, n, self._decode_chunk):
+                    e = min(s + self._decode_chunk, n)
+                    lmk[s:e] = np.asarray(decode_landmarks(
+                        jnp.asarray(self.params[s:e]), pack))
+            self._lmk = lmk
+        return self._lmk
 
     def __len__(self) -> int:
         return len(self.params)
