@@ -91,6 +91,8 @@ def main():
     cfg.data.synthetic_size = args.size
     cfg.data.device_augment = True            # fused augmentation (bench_train best cfg)
     cfg.data.appearance = args.appearance
+    # Generative mode reads only dataset.params — never materialize crops.
+    cfg.data.streaming = args.generative
     cfg.model.compute_dtype = args.dtype
 
     t0 = time.time()

@@ -65,6 +65,12 @@ class DataConfig:
     # of the deformed surface + dots, data/shaded.py — dense appearance,
     # the distributional analogue of real 300W-LP crops).
     appearance: str = "dots"
+    # Force the streaming GeneratedCropDataset even below the ~100K-crop
+    # materialization threshold. The device-generative resident path
+    # (train/resident.py) reads only the (n, 62) params, so materializing
+    # crops at setup is pure waste (a 16K shaded setup spent ~5 min
+    # rendering crops the run never touched).
+    streaming: bool = False
     jitter: Tuple[float, float, float] = (0.4, 0.4, 0.4)
     border: int = 5
     occlusion_prob: float = 0.01

@@ -150,10 +150,6 @@ class GeneratedCropDataset:
         self.size = size
         self.transform = transform
         self.appearance = appearance
-        if appearance == "shaded":
-            from synergynet_tpu.data.shaded import build_shaded_spec
-            self._pack = pack
-            self._spec = build_shaded_spec(pack)
         # Background bank: per-crop background = one of 997 precomputed
         # base-plus-noise rows (43 MB) picked by index, so generation is a
         # single row gather + landmark paint. Hashing fresh noise per pixel
@@ -248,9 +244,8 @@ class GeneratedCropDataset:
                     [idx[s:e], np.full(pad, idx[0], idx.dtype)]) if pad \
                     else idx[s:e]
                 img = _render_shaded(
-                    jnp.asarray(self.params[cidx]), key, self._spec,
-                    self._pack, jnp.asarray(self.lmk[cidx]),
-                    idx=jnp.asarray(cidx, jnp.int32))
+                    jnp.asarray(self.lmk[cidx]),
+                    key, idx=jnp.asarray(cidx, jnp.int32))
                 out[s:e] = np.asarray(img)[:e - s]
         return out
 

@@ -102,27 +102,37 @@ def make_generative_epoch_program(model, pack: ParamPack, optimizer, mesh,
                                   bn_groups: int = 1, accum_steps: int = 1):
     """Device-*generative* resident training: only the (D, n_local, 62)
     whitened parameters live in HBM; every batch's crops are SYNTHESIZED
-    on device inside the epoch program (``data/shaded.py``'s lit-surface
-    render: grid decode -> shading -> z-buffer splat -> landmark dots).
+    on device inside the epoch program (``data/shaded.py``'s scatter-free
+    lit blob-surface render: landmark decode -> separable-Gaussian matmul
+    splat -> shading -> exact landmark dots).
 
     This is what makes the reference's full ~680K-crop scale
     (reference README.md:111) single-chip trainable here: 680K uint8 crops
     are 29 GB (>HBM), but their parameters are 170 MB, and the render adds
-    only a few ms/batch of VPU work next to the ~60 ms train step.
+    only a few ms/batch of MXU/VPU work next to the ~60 ms train step.
 
     Geometry (params -> surface) is fixed per index; lighting and
     background noise re-roll per epoch (keyed by fold_in(epoch_key, index))
     — the synthesis-side analogue of photometric augmentation. The host
     syncs once per epoch, exactly like :func:`make_epoch_program`.
 
-    Returns ``epoch(state, params62, key) -> (state, metrics)`` with
-    ``params62`` sharded ``P('data')``.
+    The shuffle rides in as an argument: ``perms`` (D, n_local) int32, one
+    host-generated permutation per data shard, uploaded per epoch (64 KB
+    at 16K crops, 2.7 MB at 680K). Unlike :func:`make_epoch_program`,
+    which draws its permutation on device, this program must NOT carry an
+    in-program ``jax.random.permutation``: its bitonic-sort lowering grows
+    ~log^2(n) HLO stages, and stacked on the render+train body the
+    combined program reproducibly crashed this environment's remote
+    compile server at 16K crops (the 2K-crop build of the identical
+    instruction stream compiles fine; measured round 4). Host
+    ``np.random.permutation`` is also simply faster at the 680K scale.
+
+    Returns ``epoch(state, params62, perms, key) -> (state, metrics)``
+    with ``params62``/``perms`` sharded ``P('data')``.
     """
-    from synergynet_tpu.data.shaded import (_render_shaded,
-                                            build_shaded_spec)
+    from synergynet_tpu.data.shaded import _render_shaded
     from synergynet_tpu.mm3d.codec import decode_landmarks
 
-    spec = build_shaded_spec(pack)
     step = make_train_step(model, pack, optimizer, augment=augment,
                            bn_groups=bn_groups, accum_steps=accum_steps)
     d = mesh.shape[meshlib.DATA_AXIS]
@@ -130,13 +140,9 @@ def make_generative_epoch_program(model, pack: ParamPack, optimizer, mesh,
         raise ValueError(f"batch {batch_size} not divisible by data={d}")
     b_local = batch_size // d
 
-    def epoch(state, params62, key):
+    def epoch(state, params62, perms, key):
         nl = params62.shape[1]
         steps = (d * nl) // batch_size
-        shard_keys = jax.random.split(jax.random.fold_in(key, 17), d)
-        perms = jax.vmap(lambda k: jax.random.permutation(k, nl))(shard_keys)
-        perms = lax.with_sharding_constraint(
-            perms, NamedSharding(mesh, P(meshlib.DATA_AXIS)))
         render_key = jax.random.fold_in(key, 23)
         row0 = jnp.arange(d, dtype=jnp.int32)[:, None] * nl
 
@@ -146,8 +152,7 @@ def make_generative_epoch_program(model, pack: ParamPack, optimizer, mesh,
                                        ).reshape(batch_size, 62)
             gidx = (row0 + idx).reshape(batch_size)   # global crop indices
             lmk = decode_landmarks(btgt, pack)
-            images = _render_shaded(btgt, render_key, spec, pack, lmk,
-                                    idx=gidx)
+            images = _render_shaded(lmk, render_key, idx=gidx)
             return step(state, images, btgt, jax.random.fold_in(key, i))
 
         state, m0 = run_step(0, state)
@@ -163,7 +168,7 @@ def make_generative_epoch_program(model, pack: ParamPack, optimizer, mesh,
     rep = meshlib.replicated(mesh)
     dsh = NamedSharding(mesh, P(meshlib.DATA_AXIS))
     return jax.jit(epoch,
-                   in_shardings=(rep, dsh, rep),
+                   in_shardings=(rep, dsh, dsh, rep),
                    out_shardings=(rep, rep),
                    donate_argnums=(0,))
 
@@ -256,6 +261,27 @@ def fit_resident(trainer, images: np.ndarray, params62: np.ndarray,
         lambda state, k: epoch_fn(state, g_imgs, g_tgts, k, hwc))
 
 
+def _shard_epoch_perms(mesh, key, nl: int) -> jax.Array:
+    """One host-drawn uniform permutation per data-shard row, seeded from
+    the epoch key (bit-stable across processes/runs), uploaded sharded
+    ``P('data')``. Host numpy replaces the in-program bitonic sort — see
+    :func:`make_generative_epoch_program`."""
+    d = mesh.shape[meshlib.DATA_AXIS]
+    seed_words = np.asarray(jax.random.key_data(key)).reshape(-1)
+    perms = np.stack([
+        np.random.default_rng(
+            np.concatenate([seed_words, [row]]).astype(np.uint32)
+        ).permutation(nl).astype(np.int32)
+        for row in range(d)])
+    dsh = NamedSharding(mesh, P(meshlib.DATA_AXIS))
+    nproc = jax.process_count()
+    if nproc > 1:
+        pid = jax.process_index()
+        rows = slice(pid * d // nproc, (pid + 1) * d // nproc)
+        return jax.make_array_from_process_local_data(dsh, perms[rows])
+    return jax.device_put(perms, dsh)
+
+
 def fit_resident_generative(trainer, params62: np.ndarray,
                             epochs: Optional[int] = None,
                             log_fn: Optional[Callable] = None
@@ -271,5 +297,10 @@ def fit_resident_generative(trainer, params62: np.ndarray,
         bn_groups=getattr(trainer, "bn_groups", 1),
         accum_steps=t.accum_steps)
     g_tgts = shard_resident_params(trainer.mesh, params62)
-    return _drive_epochs(trainer, epochs, log_fn,
-                         lambda state, k: epoch_fn(state, g_tgts, k))
+    nl = g_tgts.shape[1]
+
+    def run_one(state, k):
+        perms = _shard_epoch_perms(trainer.mesh, k, nl)
+        return epoch_fn(state, g_tgts, perms, k)
+
+    return _drive_epochs(trainer, epochs, log_fn, run_one)

@@ -56,7 +56,7 @@ def build_dataset(cfg: Config):
                                transform=transform)
     log.info("no 300W-LP filelist configured; using synthetic dataset "
              "(%d crops)", d.synthetic_size)
-    if d.synthetic_size > 100_000:
+    if d.synthetic_size > 100_000 or d.streaming:
         # 300W-LP scale cannot be materialized (~29 GB at 680K crops);
         # stream bit-stable crops generated per index instead.
         from synergynet_tpu.data import GeneratedCropDataset
@@ -244,10 +244,26 @@ def make_synthetic_eval_hook(n: int = 256, seed: int = 11,
                              appearance: str = "dots") -> Callable:
     """In-train validation on the synthetic AFLW2000 pack (std=130 mirrors
     the reference's in-training normalization — quirk Q6). ``appearance``
-    must match the training data's (data/shaded.py vs dot-painted)."""
+    must match the training data's (data/shaded.py vs dot-painted).
+
+    The pack is self-checked at construction: scoring the GT parameters
+    through the full protocol must give ~0 NME, or the pack's host-side
+    GT is numerically corrupted and every in-train eval would be garbage
+    while training converges — the exact signature of the round-3 "74%
+    plateau" artifact (stale cross-host XLA:CPU AOT cache entries
+    perturbing the GT decode; see core/profiling.cache_fingerprint)."""
     from synergynet_tpu.data import make_synthetic_aflw2000, TestTransform
-    from synergynet_tpu.evals import benchmark_pipeline
+    from synergynet_tpu.evals import benchmark_params, benchmark_pipeline
     ep = make_synthetic_aflw2000(n, seed=seed, appearance=appearance)
+    gt = benchmark_params(ep["params"], ep)
+    if not (gt["nme_mean"] < 0.5 and gt["foe"]["mae_mean"] < 0.5):
+        raise RuntimeError(
+            "synthetic eval pack failed its GT self-check "
+            f"(GT-params NME {gt['nme_mean']:.3f}%, "
+            f"FOE MAE {gt['foe']['mae_mean']:.3f} deg; both should be ~0). "
+            "The host-side GT decode is numerically corrupted — most "
+            "likely a poisoned persistent compile cache; delete "
+            "/tmp/synergy_jax_cache-* and rerun.")
     tf = TestTransform()
 
     def hook(trainer: Trainer) -> dict:

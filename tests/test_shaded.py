@@ -1,18 +1,15 @@
-"""Shaded-surface synthetic task (data/shaded.py): decode consistency,
-splat correctness, determinism, and dataset-contract compatibility."""
+"""Shaded-surface synthetic task (data/shaded.py): separable blob-field
+correctness, determinism, and dataset-contract compatibility."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from synergynet_tpu.data.shaded import (DOT_BGR, build_shaded_spec,
-                                        decode_grid, make_shaded_crops,
+from synergynet_tpu.data.shaded import (DOT_BGR, make_shaded_crops,
                                         render_shaded_crops)
 from synergynet_tpu.data.synthetic import sample_params
-from synergynet_tpu.mm3d import (decode_dense, decode_landmarks,
-                                 load_param_pack)
-from synergynet_tpu.mm3d.assets import GRID_H, GRID_W
+from synergynet_tpu.mm3d import decode_landmarks, load_param_pack
 
 
 @pytest.fixture(scope="module")
@@ -25,15 +22,43 @@ def params4():
     return sample_params(np.random.default_rng(5), 4)
 
 
-def test_decode_grid_matches_dense(pack, params4):
-    """The grid decode is exactly the dense decode's grid-vertex prefix."""
-    spec = build_shaded_spec(pack)
-    v_grid = decode_grid(jnp.asarray(params4), spec, pack)
-    v_dense = decode_dense(jnp.asarray(params4), pack)
-    ng = GRID_H * GRID_W
+def test_blob_fields_match_naive():
+    """The separable-matmul blob splat equals the naive per-pixel
+    Gaussian sum (the math the matmul factorizes)."""
+    from synergynet_tpu.data.shaded import (FIELD_EPS, SIGMA, _blob_fields,
+                                            _tint)
+    size, k = 16, 5
+    rng = np.random.default_rng(3)
+    lmk = rng.uniform(-2, size + 2, (3, k)).astype(np.float32)
+    lmk[2] = rng.uniform(-20, 20, k)
+    cover, zfield, tint = jax.tree.map(
+        np.asarray, _blob_fields(jnp.asarray(lmk), size))
+
+    ys, xs = np.mgrid[:size, :size].astype(np.float32)
+    w = np.exp(-((xs[..., None] - lmk[0]) ** 2
+                 + (ys[..., None] - lmk[1]) ** 2) / (2 * SIGMA * SIGMA))
+    np.testing.assert_allclose(cover, w.sum(-1), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(
-        np.asarray(v_grid).reshape(4, 3, ng),
-        np.asarray(v_dense)[:, :, :ng], rtol=1e-5, atol=1e-4)
+        zfield, (w * lmk[2]).sum(-1) / (w.sum(-1) + FIELD_EPS),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        tint, (w[..., None] * _tint(k)[None, None]).sum(2)
+        / (w.sum(-1)[..., None] + FIELD_EPS), rtol=1e-4, atol=1e-5)
+
+
+def test_dot_mask_semantics():
+    """The matmul dot mask is the exact union of 2x2 dots at rounded,
+    [0, size-2]-clipped landmark coordinates (incl. out-of-bounds clip)."""
+    from synergynet_tpu.data.shaded import _dot_mask
+    size = 10
+    lmk = jnp.asarray([[2.4, 7.6, -5.0, 30.0],      # x
+                       [3.0, 0.0, 4.0, 9.9],        # y
+                       [0.0, 0.0, 0.0, 0.0]])
+    mask = np.asarray(_dot_mask(lmk, size))
+    want = np.zeros((size, size), bool)
+    for x, y in [(2, 3), (8, 0), (0, 4), (8, 8)]:
+        want[y:y + 2, x:x + 2] = True
+    np.testing.assert_array_equal(mask, want)
 
 
 def test_render_shapes_coverage_determinism(pack, params4):
@@ -89,23 +114,32 @@ def test_generative_epoch_program_trains_on_mesh(pack):
                                       shard_resident_params)
     mesh = make_mesh(n_model=2)                     # 4x2
     model = SynergyNet(arch="mobilenet_v2_0.5")
-    opt = optax.sgd(1e-3)
+    opt = optax.sgd(2e-2)
     state = create_train_state(model, jax.random.PRNGKey(0), opt)
     state = replicate(mesh, state)
     n, b = 64, 16
     params = sample_params(np.random.default_rng(0), n)
     g_tgts = shard_resident_params(mesh, params)
     assert g_tgts.shape == (4, 16, 62)
+    from synergynet_tpu.train.resident import _shard_epoch_perms
     epoch_fn = make_generative_epoch_program(model, pack, opt, mesh, b)
     key = jax.random.PRNGKey(1)
     losses = []
-    for e in range(2):
-        state, metrics = epoch_fn(state, g_tgts, jax.random.fold_in(key, e))
+    # Lighting/background re-roll per epoch, so at 4 steps/epoch the
+    # epoch-to-epoch loss delta is noisy: run enough epochs that the
+    # training signal dominates the lighting draw.
+    for e in range(8):
+        ek = jax.random.fold_in(key, e)
+        perms = _shard_epoch_perms(mesh, ek, g_tgts.shape[1])
+        assert perms.shape == g_tgts.shape[:2]
+        assert sorted(np.asarray(perms)[0].tolist()) == list(
+            range(g_tgts.shape[1]))
+        state, metrics = epoch_fn(state, g_tgts, perms, ek)
         losses.append(float(metrics["loss_total"]))
         assert float(metrics["skipped"]) == 0.0
-    assert int(jax.device_get(state.step)) == 8
+    assert int(jax.device_get(state.step)) == 32
     assert np.isfinite(losses).all()
-    assert losses[1] < losses[0]
+    assert min(losses[4:]) < losses[0]
 
 
 def test_generated_dataset_shaded_contract(pack):
@@ -125,26 +159,13 @@ def test_generated_dataset_shaded_contract(pack):
                                   img_a[:1])
 
 
-def test_splat_zbuffer_semantics():
-    """The splat primitive: nearest-z point wins its pixel, exact ties
-    resolve to exactly one winner, out-of-bounds points are dropped, and
-    uncovered pixels keep the background."""
-    from synergynet_tpu.data.shaded import _splat_one
-    size = 8
-    xy = jnp.asarray([[2.0, 3.0],    # pixel (3, 2), far
-                      [2.4, 3.2],    # same pixel after rounding, NEAR
-                      [2.0, 3.0],    # same pixel, exact z tie with point 0
-                      [5.0, 5.0],    # lone pixel
-                      [-3.0, 1.0]])  # out of bounds
-    zq = jnp.asarray([10, 500, 10, 7, 9999], jnp.int32)
-    zkey = zq * 65536 + jnp.arange(5, dtype=jnp.int32)
-    colors = jnp.asarray([[1, 1, 1], [2, 2, 2], [3, 3, 3],
-                          [4, 4, 4], [5, 5, 5]], jnp.uint8)
-    bg = jnp.zeros((size * size, 3), jnp.uint8)
-    img = np.asarray(_splat_one(xy, zkey, colors, bg, size)
-                     ).reshape(size, size, 3)
-    assert tuple(img[3, 2]) == (2, 2, 2)      # nearest z won
-    assert tuple(img[5, 5]) == (4, 4, 4)
-    assert (img[1] == 0).all()                # OOB point dropped
-    covered = (img.reshape(-1, 3) != 0).any(-1).sum()
-    assert covered == 2                       # exactly one winner per pixel
+def test_render_is_matmul_only():
+    """The render must stay scatter-free: TPU scatters measured ~10M
+    elem/s (5.4 s/batch for the old z-buffer splat) and long scatter
+    dispatches crashed the TPU worker. Guard the compiled HLO."""
+    from synergynet_tpu.data.shaded import _render_shaded
+    lmk = jnp.asarray(np.random.default_rng(0)
+                      .uniform(0, 119, (2, 3, 68)).astype(np.float32))
+    hlo = jax.jit(lambda l, k: _render_shaded(l, k)).lower(
+        lmk, jax.random.PRNGKey(0)).compile().as_text()
+    assert "scatter" not in hlo
