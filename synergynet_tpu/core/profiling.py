@@ -121,23 +121,36 @@ def cache_fingerprint(xla_flags: str = None) -> str:
     process's host-side entries poisoning the CPU test suite's cache).
     Suffixing every cache dir with this fingerprint keeps incompatible
     writers in separate directories.
+
+    The hash covers the CPU *model* lines, not just the ISA flag list:
+    LLVM derives tuning pseudo-features (``+prefer-no-gather`` /
+    ``+prefer-no-scatter``, the Intel GDS-mitigation avoidance) from the
+    detected CPU model, so two hosts with identical /proc/cpuinfo flags
+    but different models still produce mutually mismatched AOT entries
+    (observed round 4: a VM reboot onto a different model silently shared
+    the dir and every load logged feature mismatches).
     """
     import hashlib
     import platform as _platform
 
     flags = (os.environ.get("XLA_FLAGS", "") if xla_flags is None
              else xla_flags)
-    cpu = _platform.machine()
+    cpu_parts = [_platform.machine()]
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    cpu = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
+                k = line.split(":", 1)[0].strip()
+                if k in ("vendor_id", "cpu family", "model", "model name",
+                         "stepping"):
+                    cpu_parts.append(line.strip())
+                elif k == "flags":
+                    cpu_parts.append(
+                        " ".join(sorted(line.split(":", 1)[1].split())))
+                    break       # one logical-CPU block is enough
     except OSError:
         pass
     key = "|".join([jax.__version__, os.environ.get("JAX_PLATFORMS", ""),
-                    flags, cpu])
+                    flags, *cpu_parts])
     return hashlib.sha1(key.encode()).hexdigest()[:10]
 
 
