@@ -36,6 +36,28 @@ import pytest  # noqa: E402
 assert jax.devices()[0].platform == "cpu", "tests must run on host CPU"
 assert jax.device_count() == 8, "tests expect an 8-device virtual CPU mesh"
 
+# Quick tier: `-m "not slow"` skips the compile/subprocess-heavy files below
+# (multi-process gloo runs, executed-torch-reference parity, full Trainer
+# fits). The full suite stays the merge gate; the quick tier is for
+# inner-loop iteration. Files, not tests, are marked: a file that compiles
+# one big program is slow regardless of which test in it runs first.
+_SLOW_FILES = {
+    "test_multihost.py",          # 2 OS processes + gloo warmup, 900s budget
+    "test_reference_parity.py",   # executes the torch reference per backbone
+    "test_composed_parity.py",    # end-to-end torch pipeline golden parity
+    "test_torch_import.py",       # torch checkpoint round-trips
+    "test_trainer_cli.py",        # full Trainer.fit runs + CLI subprocesses
+    "test_train.py",              # sharded train-step compiles (8-dev mesh)
+    "test_shaded.py",             # shaded-render epoch-program compiles
+    "test_detect_train.py",       # detector trainer fits
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.path.name in _SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def pack():
