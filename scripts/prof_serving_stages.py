@@ -116,6 +116,31 @@ def main():
         results["detnet"] = round(slope_ms(loop_detnet, sb), 3)
         print("# detnet", results["detnet"], flush=True)
 
+    # detnet prefix sub-stages: cumulative times; per-segment cost is the
+    # delta between consecutive prefixes (stem1 = conv1+pool, stem2 =
+    # +conv2+pool, inception = +3 blocks, sources = +conv3/4; heads =
+    # detnet - sources). XLA fuses each prefix independently, so deltas
+    # are approximate but attribute where detnet's time concentrates.
+    for pref in ("stem1", "stem2", "inception", "sources"):
+        key = f"det{pref}"
+        if key not in want:
+            continue
+
+        def make_loop(pref):
+            @jax.jit
+            def loop_pref(n, sb):
+                def body(i, acc):
+                    x = sb + i.astype(jnp.float32) * 1e-3 - det_mean
+                    y = jax.vmap(
+                        lambda xx: detector.net.apply(
+                            detector.variables, xx[None], train=False,
+                            upto=pref))(x)
+                    return acc + jnp.sum(y.astype(jnp.float32)) * 1e-6
+                return lax.fori_loop(0, n, body, jnp.float32(0.0))
+            return loop_pref
+        results[key] = round(slope_ms(make_loop(pref), sb), 3)
+        print(f"# {key}", results[key], flush=True)
+
     # Precompute loc/conf once for the post stage.
     if "detpost" in want:
         @jax.jit

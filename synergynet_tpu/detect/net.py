@@ -145,8 +145,14 @@ class FaceBoxesNet(nn.Module):
     folded: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False
+    def __call__(self, x, train: bool = False, upto: str = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """``upto``: profiling aid — return the intermediate activation
+        after the named prefix ("stem1" = conv1+pool, "stem2" = conv2+pool,
+        "inception", "sources") instead of the heads; prefix deltas
+        attribute detnet's time per segment (scripts/prof_serving_stages.py
+        --stages detstem1,...). Unused parameters are simply not touched —
+        ``apply`` with the full variable tree stays valid."""
         if self.folded and train:
             raise ValueError("folded FaceBoxesNet is inference-only")
         dt, fold = self.dtype, self.folded
@@ -158,11 +164,17 @@ class FaceBoxesNet(nn.Module):
             x = CRelu(24, 7, 4, 3, dtype=dt, folded=fold,
                       name="conv1")(x, train)
         x = _maxpool_3x3_s2(x)
+        if upto == "stem1":
+            return x
         x = CRelu(64, 5, 2, 2, dtype=dt, folded=fold, name="conv2")(x, train)
         x = _maxpool_3x3_s2(x)
+        if upto == "stem2":
+            return x
         x = Inception(dtype=dt, folded=fold, name="inception1")(x, train)
         x = Inception(dtype=dt, folded=fold, name="inception2")(x, train)
         x = Inception(dtype=dt, folded=fold, name="inception3")(x, train)
+        if upto == "inception":
+            return x
         src1 = x                                             # stride 32
         x = BasicConv2d(128, 1, 1, 0, dtype=dt, folded=fold,
                         name="conv3_1")(x, train)
@@ -174,6 +186,8 @@ class FaceBoxesNet(nn.Module):
         x = BasicConv2d(256, 3, 2, 1, dtype=dt, folded=fold,
                         name="conv4_2")(x, train)
         src3 = x                                             # stride 128
+        if upto == "sources":
+            return src3
 
         locs, confs = [], []
         for i, (src, n_anchor) in enumerate(
