@@ -33,7 +33,13 @@ def run(files: str, *, out_dir: str = "inference_output",
 
     if api is None:
         variables = None
-        if checkpoint:
+        if checkpoint == "trained":
+            variables = "trained"        # shipped full-recipe weights
+        elif checkpoint and checkpoint.endswith(".npz"):
+            from synergynet_tpu.core.checkpoint import \
+                load_trained_variables
+            variables = load_trained_variables(checkpoint)
+        elif checkpoint:
             from synergynet_tpu.nn.torch_import import \
                 load_synergynet_variables
             variables = load_synergynet_variables(checkpoint)
@@ -88,7 +94,9 @@ def main(argv=None):
     p.add_argument("--out-dir", default="inference_output")
     p.add_argument("--alpha", type=float, default=0.6)
     p.add_argument("--checkpoint", default=None,
-                   help="framework .npz or reference .pth.tar checkpoint")
+                   help="framework .npz, reference .pth.tar, or the "
+                        "literal 'trained' for the shipped full-recipe "
+                        "weights (assets/trained/)")
     args = p.parse_args(argv)
     r = run(args.files, out_dir=args.out_dir, png=args.png,
             alpha=args.alpha, checkpoint=args.checkpoint)

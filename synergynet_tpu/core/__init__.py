@@ -10,6 +10,7 @@ from synergynet_tpu.core.config import (  # noqa: F401
 )
 from synergynet_tpu.core.checkpoint import (  # noqa: F401
     save_checkpoint, restore_checkpoint, checkpoint_metadata,
+    load_trained_variables, load_shipped_trained, shipped_trained_path,
 )
 from synergynet_tpu.core.profiling import (  # noqa: F401
     trace, annotate, StageTimer, measure, device_memory_stats,

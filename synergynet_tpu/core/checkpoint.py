@@ -64,6 +64,65 @@ def restore_checkpoint(path: str, template: Any) -> Any:
         jax.tree_util.tree_structure(template), out)
 
 
+def load_trained_variables(path: str) -> Dict[str, Any]:
+    """Load an exported inference asset (scripts/export_trained.py) into a
+    flax variables dict ``{"params": ..., "batch_stats": ...}``.
+
+    The asset stores the flat ``.params/...`` / ``.batch_stats/...`` leaves
+    of a TrainState checkpoint (float16 for size); this rebuilds the nested
+    tree and upcasts to float32. Fills the role of the reference's released
+    ``pretrained/best.pth.tar`` consumers (reference model_building.py:255-263)
+    without torch pickling.
+    """
+    out: Dict[str, Any] = {}
+    with np.load(path, allow_pickle=False) as z:
+        for k in z.files:
+            if k == "__metadata__":
+                continue
+            parts = k.split(_SEP)
+            col = parts[0].lstrip(".")
+            if col not in ("params", "batch_stats"):
+                continue
+            node = out.setdefault(col, {})
+            for p in parts[1:-1]:
+                node = node.setdefault(p, {})
+            arr = z[k]
+            if arr.dtype == np.float16:
+                arr = arr.astype(np.float32)
+            node[parts[-1]] = arr
+    if "params" not in out:
+        raise ValueError(f"{path} holds no '.params/' leaves — not an "
+                         "exported inference asset")
+    return out
+
+
+_TRAINED_ASSETS = {"mobilenet_v2": "synergynet_mbv2_shaded680k_ep80.npz"}
+
+
+def shipped_trained_path(arch: str = "mobilenet_v2") -> str:
+    """Path of the in-repo trained asset for ``arch`` (assets/trained/,
+    exported by scripts/export_trained.py from the executed full-recipe
+    run). Raises for archs without a shipped run."""
+    if arch not in _TRAINED_ASSETS:
+        raise ValueError(
+            f"no shipped trained weights for arch {arch!r} "
+            f"(have: {sorted(_TRAINED_ASSETS)})")
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(root, "assets", "trained", _TRAINED_ASSETS[arch])
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"shipped trained asset missing at {path} — repo checkout "
+            "incomplete?")
+    return path
+
+
+def load_shipped_trained(arch: str = "mobilenet_v2") -> Dict[str, Any]:
+    """The shipped full-recipe weights as flax variables (see
+    :func:`load_trained_variables`)."""
+    return load_trained_variables(shipped_trained_path(arch))
+
+
 def checkpoint_metadata(path: str) -> dict:
     with np.load(path, allow_pickle=False) as z:
         if "__metadata__" in z.files:

@@ -69,9 +69,12 @@ def preprocess_crops(img_bgr: np.ndarray, roi_boxes: Sequence[np.ndarray],
 class SynergyNet3DMM:
     """Construct once; call :meth:`get_all_outputs` per image.
 
-    ``variables`` may come from training, a checkpoint, or (default)
-    deterministic random init so the pipeline runs without the reference's
-    unreleased pretrained weights.
+    ``variables`` may come from training, a checkpoint, the string
+    ``"trained"`` (loads the shipped full-recipe weights from
+    ``assets/trained/`` — the role of the reference's released
+    ``pretrained/best.pth.tar``, reference synergy3DMM.py:95-104), or
+    (default) deterministic random init so the pipeline runs without any
+    checkpoint at all.
     """
 
     def __init__(self, arch: str = "mobilenet_v2",
@@ -82,7 +85,13 @@ class SynergyNet3DMM:
                  seed: int = 0):
         self.pack = pack if pack is not None else load_param_pack()
         self.model = SynergyNet(arch=arch, dtype=dtype)
-        if variables is None:
+        if isinstance(variables, str):
+            if variables != "trained":
+                raise ValueError(f"unknown variables spec {variables!r} "
+                                 "(only 'trained' is recognised)")
+            from synergynet_tpu.core.checkpoint import load_shipped_trained
+            variables = load_shipped_trained(arch)
+        elif variables is None:
             variables = init_synergy_variables(
                 self.model, jax.random.PRNGKey(seed))
         self.variables = variables
