@@ -86,7 +86,8 @@ def main():
     rng = np.random.default_rng(0)
     frame_np = rng.integers(0, 255, (ch, cw, 3)).astype(np.float32)
     frame = jnp.asarray(frame_np)
-    frame_s2d = jnp.asarray(np.ascontiguousarray(space_to_depth(frame_np)))
+    frame_s2d = jnp.asarray(np.ascontiguousarray(
+        space_to_depth(frame_np, detector.stem_r)))
     true_hw = jnp.asarray([ch, cw], jnp.int32)
     args = (api.variables, detector.variables, *engine.pack_args,
             frame, frame_s2d, true_hw)

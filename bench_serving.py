@@ -57,8 +57,8 @@ def main():
     # the sweep extends until compute stops scaling.
     for b in batches:
         frames = rng.integers(0, 255, (b, ch, cw, 3)).astype(np.float32)
-        s2d = np.stack([np.ascontiguousarray(space_to_depth(f))
-                        for f in frames])
+        s2d = np.stack([np.ascontiguousarray(
+            space_to_depth(f, detector.stem_r)) for f in frames])
         hw = np.tile([[ch, cw]], (b, 1)).astype(np.int32)
         fj, sj, hj = jnp.asarray(frames), jnp.asarray(s2d), jnp.asarray(hw)
 

@@ -74,7 +74,8 @@ def main():
 
     frame_np = rng.integers(0, 255, (ch, cw, 3)).astype(np.float32)
     frame = jnp.asarray(frame_np)
-    s2d_np = np.ascontiguousarray(space_to_depth(frame_np))
+    s2d_np = np.ascontiguousarray(space_to_depth(frame_np,
+                                                 detector.stem_r))
     true_hw = jnp.asarray([ch, cw], jnp.int32)
 
     @jax.jit
@@ -84,7 +85,8 @@ def main():
                 jnp.tile(true_hw[None], (b, 1)))
 
     fb, sb, hb = make_batch(frame, jnp.asarray(s2d_np))
-    det_mean = jnp.asarray(np.tile(BGR_MEAN, 16), jnp.float32)
+    det_mean = jnp.asarray(np.tile(BGR_MEAN, detector.stem_r ** 2),
+                           jnp.float32)
 
     def slope_ms(loop_fn, *arrs):
         def run(n):
@@ -121,7 +123,7 @@ def main():
     # +conv2+pool, inception = +3 blocks, sources = +conv3/4; heads =
     # detnet - sources). XLA fuses each prefix independently, so deltas
     # are approximate but attribute where detnet's time concentrates.
-    for pref in ("stem1", "stem2", "inception", "sources"):
+    for pref in ("conv1", "stem1", "stem2", "inception", "sources"):
         key = f"det{pref}"
         if key not in want:
             continue

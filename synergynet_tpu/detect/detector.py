@@ -97,27 +97,45 @@ class FaceBoxes:
                  weights_path: Optional[str] = None,
                  dtype: jnp.dtype = jnp.float32,
                  stem_s2d: bool = True,
-                 fold_bn: bool = True):
+                 fold_bn: bool = True,
+                 stem_r: int = 8):
         from synergynet_tpu.detect.net import (fold_bn_variables,
+                                               fold_to_s2d8,
                                                variables_to_s2d)
         self.stem_s2d = stem_s2d
+        # stem_r=8 (the deep-s2d stem, net.py) needs the folded topology
+        # and an original 7x7 kernel to convert from; fall back to r=4
+        # when the caller disables folding or hands a pre-converted tree.
+        self.stem_r = stem_r if stem_s2d else 1
         if variables is None:
             from synergynet_tpu.detect.torch_import import (
                 load_faceboxes_variables)
             variables = load_faceboxes_variables(weights_path)
-        if stem_s2d and variables["params"]["conv1"]["conv"][
-                "kernel"].shape[0] == 7:
-            variables = variables_to_s2d(variables)
-        # Inference default: BN folded into channel-doubled convs (exact
-        # affine algebra; doubles the stem's MXU lane occupancy — see
-        # net.fold_bn_variables). A caller passing an already-folded tree
-        # (no batch_stats, conv bias present) is accepted as-is.
-        already_folded = "bias" in variables["params"]["conv1"]["conv"]
-        self.fold_bn = fold_bn or already_folded
-        if fold_bn and not already_folded:
-            variables = fold_bn_variables(variables)
+        if "conv1_s2d8" in variables["params"]:   # pre-converted deep tree
+            self.stem_r, self.fold_bn = 8, True
+        else:
+            k1 = variables["params"]["conv1"]["conv"]["kernel"]
+            already_folded = "bias" in variables["params"]["conv1"]["conv"]
+            if (self.stem_r == 8 and fold_bn and not already_folded
+                    and k1.shape[0] == 7):
+                variables = fold_to_s2d8(fold_bn_variables(variables))
+                self.fold_bn = True
+            else:
+                if self.stem_r == 8:
+                    self.stem_r = 4
+                if stem_s2d and k1.shape[0] == 7:
+                    variables = variables_to_s2d(variables)
+                # Inference default: BN folded into channel-doubled convs
+                # (exact affine algebra; doubles the stem's MXU lane
+                # occupancy — see net.fold_bn_variables). A caller passing
+                # an already-folded tree (no batch_stats, conv bias
+                # present) is accepted as-is.
+                self.fold_bn = fold_bn or already_folded
+                if fold_bn and not already_folded:
+                    variables = fold_bn_variables(variables)
         self.net = FaceBoxesNet(dtype=dtype, stem_s2d=stem_s2d,
-                                folded=self.fold_bn)
+                                folded=self.fold_bn,
+                                stem_r=self.stem_r if stem_s2d else 4)
         self.variables = variables
         h, w = CANVAS
         self.anchors = jnp.asarray(generate_anchors(h, w))
@@ -127,8 +145,8 @@ class FaceBoxes:
         net, anchors = self.net, self.anchors
         ch, cw = CANVAS
         mean = jnp.asarray(
-            np.tile(BGR_MEAN, 16) if self.stem_s2d else BGR_MEAN,
-            jnp.float32)
+            np.tile(BGR_MEAN, self.stem_r ** 2) if self.stem_s2d
+            else BGR_MEAN, jnp.float32)
 
         @jax.jit
         def pipeline(variables, canvas_u8, true_hw):
@@ -169,7 +187,8 @@ class FaceBoxes:
         canvas[:min(hs, ch), :min(ws, cw)] = img_s[:ch, :cw]
         if self.stem_s2d:
             from synergynet_tpu.detect.net import space_to_depth
-            canvas = np.ascontiguousarray(space_to_depth(canvas))
+            canvas = np.ascontiguousarray(
+                space_to_depth(canvas, self.stem_r))
         dets, count = self._pipeline(
             self.variables, jnp.asarray(canvas),
             jnp.asarray([hs, ws], jnp.int32))

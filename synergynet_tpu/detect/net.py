@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -121,6 +122,78 @@ def _maxpool_3x3_s2(x):
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
 
+class StemS2D8(nn.Module):
+    """conv1 + maxpool of the deep-s2d stem as one unit.
+
+    Owns the phase-packed conv parameters (tree path
+    ``params/<name>/{kernel,bias}``, from :func:`fold_to_s2d8`). On TPU
+    the forward runs the fused Pallas kernel
+    (:mod:`synergynet_tpu.detect.stem_pallas`: tap matmuls + bias + relu
+    + phase maxpool per VMEM tile — the 4x-phase activation never
+    round-trips HBM); elsewhere the same math runs as an XLA conv +
+    :func:`_phase_maxpool_s2d8` (also the Pallas kernel's parity oracle,
+    tests/test_detect.py::TestS2DStem).
+
+    ``mode``: None auto-picks by backend; "xla" / "pallas" force a path
+    ("pallas" uses interpret off-TPU); "conv_only" returns the pre-pool
+    conv activation (profiling hook, always XLA).
+    """
+
+    dtype: jnp.dtype = jnp.float32
+    cout: int = 48
+
+    @nn.compact
+    def __call__(self, x, mode: str = None):
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, c, 4 * self.cout))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (4 * self.cout,))
+        dt = self.dtype
+        x = x.astype(dt)
+        if mode is None:
+            mode = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if mode == "pallas":
+            from synergynet_tpu.detect.stem_pallas import fused_stem1_s2d8
+            return fused_stem1_s2d8(
+                x, kernel, bias.astype(dt), cout=self.cout,
+                interpret=jax.default_backend() != "tpu")
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(dt), window_strides=(1, 1),
+            padding=((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = nn.relu(y + bias.astype(dt))
+        if mode == "conv_only":
+            return y
+        return _phase_maxpool_s2d8(y, self.cout)
+
+
+def _phase_maxpool_s2d8(y, cout: int):
+    """3x3 stride-2 pad-1 maxpool over the stride-4 grid, expressed on
+    phase-packed conv outputs ``y`` (B, H/8, W/8, 4*cout) with phase
+    channel block (2p+q)*cout holding the stride-4 output at
+    (2i+p, 2j+q). Pool output (i, j) covers rows {2i-1, 2i, 2i+1} =
+    {(i-1, p1), (i, p0), (i, p1)} and likewise for columns, so the
+    reduce-window becomes two shifted maxes on the packed grid. Zero
+    padding at the leading edge is exact here: inputs are post-relu
+    (>= 0), so a 0 candidate never changes the window max (the real
+    pool's -inf pad differs only below 0)."""
+    y00 = y[..., 0 * cout:1 * cout]
+    y01 = y[..., 1 * cout:2 * cout]
+    y10 = y[..., 2 * cout:3 * cout]
+    y11 = y[..., 3 * cout:4 * cout]
+
+    def up(a):      # block i-1's value at position i (row -1 -> 0 pad)
+        return jnp.pad(a, ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :-1]
+
+    def left(a):
+        return jnp.pad(a, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :-1]
+
+    r0 = jnp.maximum(jnp.maximum(up(y10), y00), y10)    # col phase q=0
+    r1 = jnp.maximum(jnp.maximum(up(y11), y01), y11)    # col phase q=1
+    return jnp.maximum(jnp.maximum(left(r1), r0), r1)
+
+
 class FaceBoxesNet(nn.Module):
     """(B, H, W, 3) mean-subtracted BGR -> (loc (B, A, 4), conf (B, A, 2)).
 
@@ -138,11 +211,22 @@ class FaceBoxesNet(nn.Module):
     ``folded``: inference-only BN-folded topology (CRelu as one channel-
     doubled conv + relu; BasicConv2d as conv+bias+relu). Variables convert
     via :func:`fold_bn_variables`; ``train=True`` is invalid in this mode.
+
+    ``stem_r = 8`` (requires ``stem_s2d`` + ``folded``): the deeper
+    space-to-depth packing (docs/SERVING.md round-3 headroom item).
+    Input is (B, H/8, W/8, 192); conv1 computes all four stride-4 output
+    phases of one 8x8 block as a single 2x2 conv with 4x-packed output
+    channels (192 in / 192 out — full 128-wide MXU lanes vs 48), and the
+    3x3/2 maxpool that follows becomes shifted maxes over phase channels
+    on the 4x-smaller spatial grid (:func:`_phase_maxpool_s2d8`) instead
+    of a reduce-window over the full-resolution 150 MB activation.
+    Exact same math: weights convert via :func:`fold_to_s2d8`.
     """
 
     dtype: jnp.dtype = jnp.float32
     stem_s2d: bool = False
     folded: bool = False
+    stem_r: int = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False, upto: str = None
@@ -157,13 +241,24 @@ class FaceBoxesNet(nn.Module):
             raise ValueError("folded FaceBoxesNet is inference-only")
         dt, fold = self.dtype, self.folded
         x = x.astype(dt)
-        if self.stem_s2d:
-            x = CRelu(24, 2, 1, ((1, 0), (1, 0)), dtype=dt, folded=fold,
-                      name="conv1")(x, train)
+        if self.stem_s2d and self.stem_r == 8:
+            if not fold:
+                raise ValueError("stem_r=8 requires the folded "
+                                 "(inference) topology")
+            stem = StemS2D8(dtype=dt, name="conv1_s2d8")
+            if upto == "conv1":
+                return stem(x, mode="conv_only")
+            x = stem(x)
         else:
-            x = CRelu(24, 7, 4, 3, dtype=dt, folded=fold,
-                      name="conv1")(x, train)
-        x = _maxpool_3x3_s2(x)
+            if self.stem_s2d:
+                x = CRelu(24, 2, 1, ((1, 0), (1, 0)), dtype=dt, folded=fold,
+                          name="conv1")(x, train)
+            else:
+                x = CRelu(24, 7, 4, 3, dtype=dt, folded=fold,
+                          name="conv1")(x, train)
+            if upto == "conv1":
+                return x
+            x = _maxpool_3x3_s2(x)
         if upto == "stem1":
             return x
         x = CRelu(64, 5, 2, 2, dtype=dt, folded=fold, name="conv2")(x, train)
@@ -242,6 +337,54 @@ def stem_kernel_to_s2d(kernel7):
                         ch = (dy * 4 + dx) * cin
                         k2[by, bx, ch:ch + cin] = k7[ty, tx]
     return k2
+
+
+def stem_kernel_to_s2d8(kernel7):
+    """Exact re-layout of the 7x7/4 stem kernel (7, 7, Cin, Cout) HWIO into
+    the deep-s2d phase kernel (2, 2, 64*Cin, 4*Cout) for inputs packed by
+    :func:`space_to_depth` with r=8.
+
+    Output phase (p, q) of an 8x8 block is the stride-4 conv output at
+    (2i+p, 2j+q): its tap rows are 4p + ty - 3 for ty in [0, 7) relative
+    to block row 8i, landing in block i-1 (conv tap a=0, with the conv's
+    ((1,0),(1,0)) padding) when negative, else block i (a=1). Packed-out
+    channel = (2p+q)*Cout + o; packed-in channel = (dy8*8 + dx8)*Cin + c.
+    """
+    import numpy as np
+    k7 = np.asarray(kernel7)
+    cin, cout = k7.shape[2], k7.shape[3]
+    k2 = np.zeros((2, 2, 64 * cin, 4 * cout), k7.dtype)
+    for p in range(2):
+        for q in range(2):
+            for ty in range(7):
+                for tx in range(7):
+                    gy, gx = 4 * p + ty - 3, 4 * q + tx - 3
+                    a, dy8 = (1, gy) if gy >= 0 else (0, gy + 8)
+                    b, dx8 = (1, gx) if gx >= 0 else (0, gx + 8)
+                    ch = (dy8 * 8 + dx8) * cin
+                    oc = (2 * p + q) * cout
+                    k2[a, b, ch:ch + cin, oc:oc + cout] = k7[ty, tx]
+    return k2
+
+
+def fold_to_s2d8(folded_variables):
+    """Convert a BN-folded FaceBoxesNet tree (:func:`fold_bn_variables`,
+    conv1 kernel still 7x7) to the ``stem_r=8`` topology: conv1 becomes
+    ``conv1_s2d8`` with the phase-packed kernel (2, 2, 192, 192) and the
+    bias tiled over the four phases."""
+    import numpy as np
+    params = dict(folded_variables["params"])
+    c1 = params.pop("conv1")["conv"]
+    k7, bias = np.asarray(c1["kernel"]), np.asarray(c1["bias"])
+    if k7.shape[0] != 7:
+        raise ValueError("fold_to_s2d8 expects the 7x7 stem kernel "
+                         f"(got {k7.shape}) — fold before any r=4 s2d "
+                         "conversion")
+    params["conv1_s2d8"] = {
+        "kernel": jnp.asarray(stem_kernel_to_s2d8(k7)),
+        "bias": jnp.asarray(np.tile(bias, 4)),
+    }
+    return {"params": params}
 
 
 def fold_bn_variables(variables, eps: float = 1e-5):

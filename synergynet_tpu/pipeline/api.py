@@ -263,7 +263,8 @@ class FusedFrameEngine:
         api, det = self.api, self.detector
         f_max = self.max_faces
         ch, cw = CANVAS
-        det_mean = jnp.asarray(np.tile(BGR_MEAN, 16), jnp.float32)
+        det_mean = jnp.asarray(np.tile(BGR_MEAN, det.stem_r ** 2),
+                               jnp.float32)
         model = api.model
         decode_dense_in = api._decode_dense_in_program
 
@@ -339,7 +340,8 @@ class FusedFrameEngine:
         ch, cw = CANVAS
         canvas = np.zeros((ch, cw, 3), np.float32)
         canvas[:min(hs, ch), :min(ws, cw)] = img_s[:ch, :cw]
-        packed = np.ascontiguousarray(space_to_depth(canvas))
+        packed = np.ascontiguousarray(
+            space_to_depth(canvas, self.detector.stem_r))
 
         out = self._program(self.api.variables, self.detector.variables,
                             *self.pack_args,

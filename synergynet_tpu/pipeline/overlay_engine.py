@@ -202,7 +202,8 @@ class FusedOverlayEngine:
         ch, cw = CANVAS
         canvas = np.zeros((ch, cw, 3), np.float32)
         canvas[:min(hs, ch), :min(ws, cw)] = img_s[:ch, :cw]
-        packed = np.ascontiguousarray(space_to_depth(canvas))
+        packed = np.ascontiguousarray(
+            space_to_depth(canvas, self.engine.detector.stem_r))
 
         outs, overlay, _ = self._program(
             self.engine.api.variables, self.engine.detector.variables,

@@ -192,6 +192,85 @@ class TestS2DStem:
         np.testing.assert_allclose(a[0][:a[1]], b[0][:b[1]], rtol=1e-4,
                                    atol=1e-2)
 
+    def test_s2d8_net_matches_standard(self):
+        """The deep-s2d stem (stem_r=8: phase-packed conv1 + shifted-max
+        pool, net.py) is exactly the standard folded net."""
+        import jax
+        import jax.numpy as jnp
+        from synergynet_tpu.detect.net import (fold_bn_variables,
+                                               fold_to_s2d8,
+                                               space_to_depth)
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.normal(0, 50, (1, 128, 256, 3)).astype(np.float32))
+        net = FaceBoxesNet()
+        v = net.init(jax.random.PRNGKey(7), x, train=False)
+        v["batch_stats"] = jax.tree.map(
+            lambda a: a + jnp.asarray(
+                np.random.default_rng(8).uniform(0.1, 0.5, a.shape),
+                a.dtype),
+            v["batch_stats"])
+        loc, conf = net.apply(v, x, train=False)
+        net8 = FaceBoxesNet(stem_s2d=True, folded=True, stem_r=8)
+        v8 = fold_to_s2d8(fold_bn_variables(v))
+        loc2, conf2 = net8.apply(v8, space_to_depth(x, 8), train=False)
+        np.testing.assert_allclose(np.asarray(loc), np.asarray(loc2),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(conf), np.asarray(conf2),
+                                   atol=2e-4)
+
+    def test_detector_s2d8_equals_r4(self):
+        from synergynet_tpu.detect.torch_import import random_init_variables
+        from synergynet_tpu.detect.detector import FaceBoxes
+        img = np.random.default_rng(13).integers(
+            0, 255, (480, 640, 3), np.uint8)
+        v = random_init_variables()
+        a = FaceBoxes(variables=v, stem_r=4).detect_raw(img)
+        det8 = FaceBoxes(variables=v, stem_r=8)
+        assert det8.stem_r == 8
+        b = det8.detect_raw(img)
+        assert a[1] == b[1]
+        np.testing.assert_allclose(a[0][:a[1]], b[0][:b[1]], rtol=1e-4,
+                                   atol=1e-2)
+
+    def test_s2d8_pallas_matches_xla(self):
+        """The fused Pallas stem kernel (interpret mode) vs the XLA
+        conv + phase-pool oracle, on the real canvas geometry with an
+        uneven column-tile count and negative activations in play."""
+        import jax
+        import jax.numpy as jnp
+        from synergynet_tpu.detect.net import StemS2D8
+        rng = np.random.default_rng(14)
+        # (B, 90, 136, 192) is the real serving shape but slow in
+        # interpret mode; use a tiling-equivalent slice (w8=136 -> tj=34
+        # with 4 column tiles; halo logic identical at any h8).
+        x = jnp.asarray(rng.normal(0, 30, (2, 12, 136, 192))
+                        .astype(np.float32))
+        stem = StemS2D8()
+        v = stem.init(jax.random.PRNGKey(1), x)
+        v = jax.tree.map(
+            lambda a: a + jnp.asarray(
+                np.random.default_rng(15).normal(0, 0.05, a.shape)
+                .astype(np.float32)), v)
+        ref = stem.apply(v, x, mode="xla")
+        got = stem.apply(v, x, mode="pallas")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_s2d8_requires_fold(self):
+        """stem_r=8 without folding falls back to the r=4 stem (the
+        unfolded topology keeps BN ahead of the phase pack)."""
+        from synergynet_tpu.detect.torch_import import random_init_variables
+        from synergynet_tpu.detect.detector import FaceBoxes
+        det = FaceBoxes(variables=random_init_variables(), fold_bn=False,
+                        stem_r=8)
+        assert det.stem_r == 4
+        import jax.numpy as jnp
+        import pytest as _pytest
+        net8 = FaceBoxesNet(stem_s2d=True, folded=False, stem_r=8)
+        with _pytest.raises(ValueError):
+            net8.apply({"params": {}}, jnp.zeros((1, 16, 16, 192)),
+                       train=False)
+
 
 class TestSoftNMS:
     """soft_nms vs a faithful simulation of the reference cpu_soft_nms

@@ -240,7 +240,7 @@ class TestBatchedFrames:
         ch, cw = CANVAS
         rng = np.random.default_rng(0)
         frames = rng.integers(0, 255, (2, ch, cw, 3)).astype(np.float32)
-        packed = np.ascontiguousarray(space_to_depth(frames))
+        packed = np.ascontiguousarray(space_to_depth(frames, det.stem_r))
         hws = np.asarray([[ch, cw]] * 2, np.int32)
 
         batched = eng.process_batch(jnp.asarray(frames), jnp.asarray(packed),

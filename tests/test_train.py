@@ -187,7 +187,7 @@ class TestShardedServing:
         ch, cw = CANVAS
         rng = np.random.default_rng(0)
         frames = rng.integers(0, 255, (8, ch, cw, 3)).astype(np.float32)
-        packed = np.ascontiguousarray(space_to_depth(frames))
+        packed = np.ascontiguousarray(space_to_depth(frames, det.stem_r))
         hws = np.asarray([[ch, cw]] * 8, np.int32)
 
         sharded = run(jnp.asarray(frames), jnp.asarray(packed),
