@@ -30,9 +30,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _note(msg):
+    """Progress marker on stderr (stdout stays the one JSON line)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
 
 BASELINE_FPS = 3000.0   # reference README.md:31 (RTX 2080, alignment only)
 FACES_PER_FRAME = 8
@@ -62,37 +72,56 @@ def main():
     from synergynet_tpu.detect.net import space_to_depth
     from synergynet_tpu.pipeline import FusedFrameEngine, SynergyNet3DMM
 
-    detector = FaceBoxes(dtype=jnp.bfloat16)
-    api = SynergyNet3DMM(dtype=jnp.bfloat16, detector=detector)
-    engine = FusedFrameEngine(api, detector=detector,
-                              max_faces=FACES_PER_FRAME)
-    program = engine._program
     ch, cw = CANVAS
-
-    @jax.jit
-    def bench_loop(variables, det_vars, pack, basis_w, basis_u, anchors,
-                   frame, frame_s2d, true_hw, n_iters):
-        def body(i, acc):
-            c = i.astype(jnp.float32) * 1e-3              # defeat memoization
-            outs = program(variables, det_vars, pack, basis_w, basis_u,
-                           anchors, frame + c, frame_s2d + c, true_hw)
-            scores, n_faces, rois, p62, lmk, dense, angles, t3d = outs
-            return (acc + jnp.sum(lmk * lmk) * 1e-6
-                    + jnp.sum(dense * dense) * 1e-9
-                    + jnp.sum(angles) + jnp.sum(t3d)
-                    + jnp.sum(scores) + n_faces.astype(jnp.float32))
-        return lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
-
     rng = np.random.default_rng(0)
     frame_np = rng.integers(0, 255, (ch, cw, 3)).astype(np.float32)
     frame = jnp.asarray(frame_np)
-    frame_s2d = jnp.asarray(np.ascontiguousarray(
-        space_to_depth(frame_np, detector.stem_r)))
     true_hw = jnp.asarray([ch, cw], jnp.int32)
-    args = (api.variables, detector.variables, *engine.pack_args,
-            frame, frame_s2d, true_hw)
 
-    float(bench_loop(*args, 2))                           # compile + warmup
+    def build(stem_mode):
+        detector = FaceBoxes(dtype=jnp.bfloat16, stem_mode=stem_mode)
+        api = SynergyNet3DMM(dtype=jnp.bfloat16, detector=detector)
+        engine = FusedFrameEngine(api, detector=detector,
+                                  max_faces=FACES_PER_FRAME)
+        program = engine._program
+
+        @jax.jit
+        def bench_loop(variables, det_vars, pack, basis_w, basis_u,
+                       anchors, frame, frame_s2d, true_hw, n_iters):
+            def body(i, acc):
+                c = i.astype(jnp.float32) * 1e-3          # defeat memoization
+                outs = program(variables, det_vars, pack, basis_w, basis_u,
+                               anchors, frame + c, frame_s2d + c, true_hw)
+                scores, n_faces, rois, p62, lmk, dense, angles, t3d = outs
+                return (acc + jnp.sum(lmk * lmk) * 1e-6
+                        + jnp.sum(dense * dense) * 1e-9
+                        + jnp.sum(angles) + jnp.sum(t3d)
+                        + jnp.sum(scores) + n_faces.astype(jnp.float32))
+            return lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+
+        frame_s2d = jnp.asarray(np.ascontiguousarray(
+            space_to_depth(frame_np, detector.stem_r)))
+        args = (api.variables, detector.variables, *engine.pack_args,
+                frame, frame_s2d, true_hw)
+        return detector, api, engine, bench_loop, frame_s2d, args
+
+    # Compile + warmup. One experimental kernel must never zero out the
+    # round's headline (VERDICT r4 item 8): if the default stem path fails
+    # to compile, fall back to the proven XLA stem and report the error.
+    stem_fallback = None
+    try:
+        _note("compiling B=1 fused program (default stem path)")
+        (detector, api, engine, bench_loop, frame_s2d,
+         args) = build(None)
+        float(bench_loop(*args, 2))
+    except Exception as e:                                # pragma: no cover
+        stem_fallback = f"{type(e).__name__}: {e}"[:300]
+        _note(f"default stem failed ({stem_fallback}); retrying with "
+              "the XLA stem")
+        (detector, api, engine, bench_loop, frame_s2d,
+         args) = build("xla")
+        float(bench_loop(*args, 2))
+    _note("B=1 compiled; measuring slopes")
 
     def run(n):
         t0 = time.perf_counter()
@@ -142,7 +171,9 @@ def main():
 
         bargs = (api.variables, detector.variables, *engine.pack_args,
                  fb, sb, hb)
+        _note(f"compiling B={BATCH} batch program")
         float(bench_loop_b(*bargs, 1))                    # compile + warmup
+        _note("batch program compiled; measuring slopes")
 
         def run_b(n):
             t0 = time.perf_counter()
@@ -177,7 +208,8 @@ def main():
                   "n_slope_estimates": len(fps_all),
                   "fps_batched": round(fps_batch, 1),
                   "dispatch_batch": best_b,
-                  "batch_error": batch_err},
+                  "batch_error": batch_err,
+                  "stem_fallback": stem_fallback},
     }))
 
 

@@ -102,7 +102,12 @@ _TRAINED_ASSETS = {"mobilenet_v2": "synergynet_mbv2_shaded680k_ep80.npz"}
 def shipped_trained_path(arch: str = "mobilenet_v2") -> str:
     """Path of the in-repo trained asset for ``arch`` (assets/trained/,
     exported by scripts/export_trained.py from the executed full-recipe
-    run). Raises for archs without a shipped run."""
+    run). Raises for archs without a shipped run.
+
+    REQUIRES A REPO CHECKOUT: the asset is resolved relative to the source
+    tree and is not wheel package data (pyproject packages only
+    ``synergynet_tpu*``). Wheel installs should pass an explicit
+    checkpoint path instead (ADVICE round 4)."""
     if arch not in _TRAINED_ASSETS:
         raise ValueError(
             f"no shipped trained weights for arch {arch!r} "

@@ -50,6 +50,14 @@ import jax.numpy as jnp
 
 from synergynet_tpu.mm3d.assets import STD_SIZE, ParamPack
 
+# The ONE host-side shaded-render dispatch shape. Both host paths — the
+# materialized ``make_shaded_crops`` and the streaming
+# ``GeneratedCropDataset._generate_shaded`` — render in batches of exactly
+# this size so a crop's uint8 pixels are bit-identical for the same
+# (seed, index) regardless of which path produced it (different program
+# shapes may legally round differently; ADVICE round 4).
+RENDER_CHUNK = 256
+
 # Lambertian shading configuration: BGR albedo (host images are BGR uint8,
 # CLAUDE.md conventions), ambient + diffuse sum to 1 so intensity <= albedo.
 ALBEDO_BGR = (150.0, 180.0, 235.0)
@@ -187,13 +195,21 @@ def render_shaded_crops(params: jnp.ndarray, key: jax.Array,
 
 
 def make_shaded_crops(n: int, pack: Optional[ParamPack] = None,
-                      seed: int = 0, batch: int = 1024
+                      seed: int = 0, batch: int = None
                       ) -> Dict[str, np.ndarray]:
     """Host convenience mirroring ``synthetic.make_crops_with_params`` with
-    shaded appearance. Renders in fixed-size batches (one compile)."""
+    shaded appearance. Renders in fixed-size batches (one compile).
+
+    ``batch`` defaults to :data:`RENDER_CHUNK` — the SAME program shape the
+    streaming ``GeneratedCropDataset`` path renders with, so toggling
+    ``cfg.data.streaming`` never changes a crop's uint8 pixels for the same
+    (seed, index) (a different batch shape may legally round differently;
+    ADVICE round 4)."""
     from synergynet_tpu.data.synthetic import sample_params
     from synergynet_tpu.mm3d import decode_landmarks, load_param_pack
 
+    if batch is None:
+        batch = RENDER_CHUNK
     pack = pack or load_param_pack()
     rng = np.random.default_rng(seed)
     params = sample_params(rng, n)

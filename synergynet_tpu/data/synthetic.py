@@ -212,7 +212,7 @@ class GeneratedCropDataset:
         return images
 
     def _generate_shaded(self, idx: np.ndarray,
-                         chunk: int = 256) -> np.ndarray:
+                         chunk: int = None) -> np.ndarray:
         """Host-side shaded render, pinned to the CPU backend (never
         competes with the training chip; the fast path for shaded data is
         on-device generation, train/resident.py generative mode).
@@ -222,13 +222,17 @@ class GeneratedCropDataset:
         a crop's pixels are bit-stable regardless of how the fetch batches
         indices — the dataset's bit-per-(seed, index) contract. Rendering
         the same index under a different batch shape may legally round
-        differently in uint8."""
+        differently in uint8; ``chunk`` therefore defaults to the SAME
+        ``shaded.RENDER_CHUNK`` the materialized ``make_shaded_crops`` path
+        uses, so streaming and materialized datasets agree bit-for-bit."""
         import contextlib
 
         import jax
         import jax.numpy as jnp
-        from synergynet_tpu.data.shaded import _render_shaded
+        from synergynet_tpu.data.shaded import RENDER_CHUNK, _render_shaded
 
+        if chunk is None:
+            chunk = RENDER_CHUNK
         try:
             ctx = jax.default_device(jax.devices("cpu")[0])
         except Exception:

@@ -98,7 +98,8 @@ class FaceBoxes:
                  dtype: jnp.dtype = jnp.float32,
                  stem_s2d: bool = True,
                  fold_bn: bool = True,
-                 stem_r: int = 8):
+                 stem_r: int = 8,
+                 stem_mode: str = None):
         from synergynet_tpu.detect.net import (fold_bn_variables,
                                                fold_to_s2d8,
                                                variables_to_s2d)
@@ -112,6 +113,12 @@ class FaceBoxes:
                 load_faceboxes_variables)
             variables = load_faceboxes_variables(weights_path)
         if "conv1_s2d8" in variables["params"]:   # pre-converted deep tree
+            if not stem_s2d:
+                raise ValueError(
+                    "the variable tree is pre-converted for the deep-s2d "
+                    "stem (conv1_s2d8) but stem_s2d=False was requested — "
+                    "a 3-channel net cannot apply it; pass stem_s2d=True "
+                    "or an unconverted tree")
             self.stem_r, self.fold_bn = 8, True
         else:
             k1 = variables["params"]["conv1"]["conv"]["kernel"]
@@ -135,7 +142,8 @@ class FaceBoxes:
                     variables = fold_bn_variables(variables)
         self.net = FaceBoxesNet(dtype=dtype, stem_s2d=stem_s2d,
                                 folded=self.fold_bn,
-                                stem_r=self.stem_r if stem_s2d else 4)
+                                stem_r=self.stem_r if stem_s2d else 4,
+                                stem_mode=stem_mode)
         self.variables = variables
         h, w = CANVAS
         self.anchors = jnp.asarray(generate_anchors(h, w))

@@ -152,7 +152,9 @@ class StemS2D8(nn.Module):
         dt = self.dtype
         x = x.astype(dt)
         if mode is None:
-            mode = "pallas" if jax.default_backend() == "tpu" else "xla"
+            from synergynet_tpu.detect.stem_pallas import _pick_tile
+            mode = ("pallas" if jax.default_backend() == "tpu"
+                    and _pick_tile(x.shape[2]) is not None else "xla")
         if mode == "pallas":
             from synergynet_tpu.detect.stem_pallas import fused_stem1_s2d8
             return fused_stem1_s2d8(
@@ -227,6 +229,11 @@ class FaceBoxesNet(nn.Module):
     stem_s2d: bool = False
     folded: bool = False
     stem_r: int = 4
+    # stem_r=8 only: None auto-picks the fused Pallas stem on TPU (when a
+    # Mosaic-legal tile exists) and XLA elsewhere; "xla"/"pallas" force a
+    # path. Lets callers (bench.py) pin the proven path or fall back
+    # without touching the kernel (VERDICT r4 item 8).
+    stem_mode: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, upto: str = None
@@ -248,7 +255,7 @@ class FaceBoxesNet(nn.Module):
             stem = StemS2D8(dtype=dt, name="conv1_s2d8")
             if upto == "conv1":
                 return stem(x, mode="conv_only")
-            x = stem(x)
+            x = stem(x, mode=self.stem_mode)
         else:
             if self.stem_s2d:
                 x = CRelu(24, 2, 1, ((1, 0), (1, 0)), dtype=dt, folded=fold,

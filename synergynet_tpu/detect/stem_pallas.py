@@ -35,13 +35,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tile(w8: int) -> int:
-    """Largest divisor of w8 that is <= 40 (VMEM-sized column tiles;
-    34 for the 1088-wide canvas)."""
-    for t in range(min(w8, 40), 0, -1):
+def _pick_tile(w8: int):
+    """Largest multiple-of-8 divisor of w8 that is <= 40 (VMEM-sized
+    column tiles; 8 for the 1088-wide canvas, 136 = 17*8).
+
+    Mosaic requires the last two dims of every block shape to be divisible
+    by (8, 128) or equal to the full array dims (the round-4 bench died on
+    tj=34: jax/_src/pallas/mosaic/lowering.py::_check_block_mappings). The
+    column-tile axis is second-to-last in the out spec, so only multiples
+    of 8 (or w8 itself, kept under the VMEM cap) are legal. Returns None
+    when no legal tile exists — callers must fall back to the XLA path.
+    """
+    for t in range(40 - 40 % 8, 0, -8):
         if w8 % t == 0:
             return t
-    return w8
+    if w8 <= 40:        # full-width block == array dim: always legal
+        return w8
+    return None
 
 
 def _stem_kernel(x_hbm, k_ref, b_ref, out_ref, scratch, sem, *,
@@ -98,6 +108,10 @@ def fused_stem1_s2d8(x, kernel, bias, *, cout: int = 48,
         raise ValueError(f"kernel shape {kernel.shape} does not match "
                          f"input channels {c} / cout {cout}")
     tj = _pick_tile(w8)
+    if tj is None:
+        raise ValueError(
+            f"no Mosaic-legal column tile for W8={w8} (needs a multiple-"
+            "of-8 divisor); use the XLA stem path instead")
     xp = jnp.pad(x, ((0, 0), (1, 0), (2, 0), (0, 0)))
     k4 = kernel.astype(x.dtype).reshape(4, c, 4 * cout)
     grid = (b, w8 // tj)

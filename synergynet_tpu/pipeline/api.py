@@ -72,9 +72,10 @@ class SynergyNet3DMM:
     ``variables`` may come from training, a checkpoint, the string
     ``"trained"`` (loads the shipped full-recipe weights from
     ``assets/trained/`` — the role of the reference's released
-    ``pretrained/best.pth.tar``, reference synergy3DMM.py:95-104), or
-    (default) deterministic random init so the pipeline runs without any
-    checkpoint at all.
+    ``pretrained/best.pth.tar``, reference synergy3DMM.py:95-104; requires
+    a repo checkout, since the asset is not wheel package data — wheel
+    installs must pass a checkpoint path), or (default) deterministic
+    random init so the pipeline runs without any checkpoint at all.
     """
 
     def __init__(self, arch: str = "mobilenet_v2",

@@ -64,7 +64,10 @@ def make_epoch_program(model, pack: ParamPack, optimizer, mesh,
         steps = (d * nl) // batch_size
         # One independent permutation per data shard (vmap over the shard
         # row keeps the sampling local to each chip).
-        shard_keys = jax.random.split(jax.random.fold_in(key, 17), d)
+        # fold_in above the int32 range: step keys are fold_in(key, i)
+        # with i an int32 >= 0 (< 2**31), so the permutation stream can
+        # never collide with a step's augmentation stream (ADVICE round 4).
+        shard_keys = jax.random.split(jax.random.fold_in(key, 2 ** 31), d)
         perms = jax.vmap(lambda k: jax.random.permutation(k, nl))(shard_keys)
         perms = lax.with_sharding_constraint(
             perms, NamedSharding(mesh, P(meshlib.DATA_AXIS)))
@@ -143,7 +146,12 @@ def make_generative_epoch_program(model, pack: ParamPack, optimizer, mesh,
     def epoch(state, params62, perms, key):
         nl = params62.shape[1]
         steps = (d * nl) // batch_size
-        render_key = jax.random.fold_in(key, 23)
+        # Fold domain above the int32 range: step keys are fold_in(key, i)
+        # with i an int32 >= 0 (< 2**31), so the epoch's lighting/
+        # background render stream can never equal a step's augmentation
+        # stream (ADVICE round 4: the old fold_in(23) collided with step
+        # 23's key).
+        render_key = jax.random.fold_in(key, 2 ** 31 + 1)
         row0 = jnp.arange(d, dtype=jnp.int32)[:, None] * nl
 
         def run_step(i, state):

@@ -71,7 +71,14 @@ def test_asset_scores_like_a_trained_model(variables):
     ep = make_synthetic_aflw2000(32, seed=11, appearance="shaded")
     r = benchmark_pipeline(model, variables, ep, load_param_pack(),
                            std=130.0, batch=32, transform=TestTransform())
-    # Full-protocol CPU score of the fp16 asset is 2.86% NME / 2.00 deg MAE
-    # (n=256); mean-collapse sits at ~33-36% and an untrained model at ~36%.
+    # CPU scores of the fp16 asset on the seed-11 shaded protocol:
+    # 2.86% NME / 2.00 deg MAE at n=256, and 1.97% NME / 1.97 deg MAE at
+    # the recipe's full n=1024 — matching the on-chip in-train eval's
+    # 1.98%/1.97 at epoch 80 (docs/FULL_RECIPE_RUN.json). The round-4
+    # "1.98 vs 2.86 discrepancy" was therefore pure protocol-subset
+    # variance (the first 256 draws score worse than the full 1024;
+    # adjacent-epoch evals jitter +-0.4 the same way), NOT fp16 export
+    # loss or TPU-vs-CPU numerics (measured round 5, /tmp/probe_nme.py).
+    # Mean-collapse sits at ~33-36% and an untrained model at ~36%.
     assert r["nme_mean"] < 8.0
     assert r["foe"]["mae_mean"] < 4.0
