@@ -37,7 +37,9 @@ def main():
         meta = json.loads(str(z["__metadata__"])) if "__metadata__" in z.files else {}
         keep = {}
         for k in z.files:
-            if k.startswith(".params/") or k.startswith(".batch_stats/"):
+            # lstrip: pre-normalization TrainState snapshots prefix struct
+            # fields with a dot (".params/..."); current ones don't.
+            if k.lstrip(".").startswith(("params/", "batch_stats/")):
                 arr = z[k]
                 if arr.dtype == np.float32:
                     arr = arr.astype(np.float16)

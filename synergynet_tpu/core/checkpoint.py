@@ -21,12 +21,25 @@ import numpy as np
 _SEP = "/"
 
 
+def _path_key(path) -> str:
+    """Canonical flat key for a tree_flatten_with_path entry.
+
+    Dict nodes flatten to ``DictKey`` (str() == the key) but attr-style
+    nodes (flax ``struct.PyTreeNode`` like TrainState) flatten to
+    ``GetAttrKey`` whose str() carries a leading dot (``.params``). Strip
+    it so the SAME leaf gets the SAME key whether it was saved from a
+    TrainState or a plain variables dict — a Trainer snapshot must restore
+    into ``cli.evaluate``'s ``{params, batch_stats}`` template (caught by
+    tests/test_dress_rehearsal.py)."""
+    return _SEP.join(
+        str(getattr(p, "key", getattr(p, "idx", p))).lstrip(".")
+        for p in path)
+
+
 def _flatten(tree: Any) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = _SEP.join(str(getattr(p, "key", getattr(p, "idx", p)))
-                        for p in path)
-        flat[key] = np.asarray(leaf)
+        flat[_path_key(path)] = np.asarray(leaf)
     return flat
 
 
@@ -46,12 +59,14 @@ def save_checkpoint(path: str, tree: Any, *, step: Optional[int] = None,
 def restore_checkpoint(path: str, template: Any) -> Any:
     """Restore into the structure of ``template`` (shapes must match)."""
     with np.load(path, allow_pickle=False) as z:
-        flat = {k: z[k] for k in z.files if k != "__metadata__"}
+        # lstrip: checkpoints written before _path_key normalized attr-style
+        # keys carry a leading dot on struct fields (``.params/...``).
+        flat = {_SEP.join(c.lstrip(".") for c in k.split(_SEP)): z[k]
+                for k in z.files if k != "__metadata__"}
     leaves_t, treedef = jax.tree_util.tree_flatten_with_path(template)
     out = []
     for path_keys, leaf in leaves_t:
-        key = _SEP.join(str(getattr(p, "key", getattr(p, "idx", p)))
-                        for p in path_keys)
+        key = _path_key(path_keys)
         if key not in flat:
             raise KeyError(f"checkpoint missing leaf '{key}'")
         arr = flat[key]

@@ -134,9 +134,9 @@ class StemS2D8(nn.Module):
     :func:`_phase_maxpool_s2d8` (also the Pallas kernel's parity oracle,
     tests/test_detect.py::TestS2DStem).
 
-    ``mode``: None auto-picks by backend; "xla" / "pallas" force a path
-    ("pallas" uses interpret off-TPU); "conv_only" returns the pre-pool
-    conv activation (profiling hook, always XLA).
+    ``mode``: None means the XLA path (the proven production default);
+    "pallas" opts into the fused kernel (interpret off-TPU); "conv_only"
+    returns the pre-pool conv activation (profiling hook, always XLA).
     """
 
     dtype: jnp.dtype = jnp.float32
@@ -152,9 +152,15 @@ class StemS2D8(nn.Module):
         dt = self.dtype
         x = x.astype(dt)
         if mode is None:
-            from synergynet_tpu.detect.stem_pallas import _pick_tile
-            mode = ("pallas" if jax.default_backend() == "tpu"
-                    and _pick_tile(x.shape[2]) is not None else "xla")
+            # Default to the XLA stem on every backend: it is the round-3
+            # proven production path (bit parity + BN/CRelu fold, -21%
+            # dispatch, docs/SERVING.md). The fused Pallas stem is opt-in
+            # (mode="pallas") until an on-chip run proves it compiles AND
+            # wins — round 4 made it the TPU default unvalidated and the
+            # serving bench died at compile time (VERDICT r4 weak #2);
+            # round 5's rewrite then failed one pass deeper
+            # (infer-vector-layout), which no off-chip gate catches.
+            mode = "xla"
         if mode == "pallas":
             from synergynet_tpu.detect.stem_pallas import fused_stem1_s2d8
             return fused_stem1_s2d8(
@@ -229,9 +235,8 @@ class FaceBoxesNet(nn.Module):
     stem_s2d: bool = False
     folded: bool = False
     stem_r: int = 4
-    # stem_r=8 only: None auto-picks the fused Pallas stem on TPU (when a
-    # Mosaic-legal tile exists) and XLA elsewhere; "xla"/"pallas" force a
-    # path. Lets callers (bench.py) pin the proven path or fall back
+    # stem_r=8 only: None = XLA (the proven production path); "pallas"
+    # opts into the fused stem kernel. Lets callers (bench.py) pin a path
     # without touching the kernel (VERDICT r4 item 8).
     stem_mode: str = None
 

@@ -50,6 +50,7 @@ _SLOW_FILES = {
     "test_train.py",              # sharded train-step compiles (8-dev mesh)
     "test_shaded.py",             # shaded-render epoch-program compiles
     "test_detect_train.py",       # detector trainer fits
+    "test_dress_rehearsal.py",    # raw BFM -> cli.train 2 epochs -> cli.eval
 }
 
 

@@ -40,6 +40,45 @@ class TestPytreeCheckpoint:
         with pytest.raises(KeyError):
             restore_checkpoint(p, {"a": np.zeros(2), "b": np.zeros(2)})
 
+    def test_struct_state_restores_into_dict_template(self, tmp_path, rng):
+        """A Trainer snapshot (flax struct.PyTreeNode -> GetAttrKey paths)
+        must restore into cli.evaluate's plain ``{params, batch_stats}``
+        dict template: attr keys str() with a leading dot (``.params``)
+        which _path_key strips (caught by tests/test_dress_rehearsal.py)."""
+        from flax import struct
+
+        class State(struct.PyTreeNode):
+            params: dict
+            batch_stats: dict
+            step: np.ndarray
+
+        params = {"dense": {"kernel": rng.normal(0, 1, (3, 4)).astype(
+            np.float32)}}
+        stats = {"bn": {"mean": np.arange(4.0, dtype=np.float32)}}
+        state = State(params=params, batch_stats=stats,
+                      step=np.int32(7))
+        p = str(tmp_path / "state.npz")
+        save_checkpoint(p, state, step=7)
+        got = restore_checkpoint(
+            p, {"params": jax.tree.map(np.zeros_like, params),
+                "batch_stats": jax.tree.map(np.zeros_like, stats)})
+        np.testing.assert_array_equal(got["params"]["dense"]["kernel"],
+                                      params["dense"]["kernel"])
+        np.testing.assert_array_equal(got["batch_stats"]["bn"]["mean"],
+                                      stats["bn"]["mean"])
+
+    def test_pre_normalization_dotted_keys_restore(self, tmp_path):
+        """Checkpoints written before _path_key (keys ``.params/...``)
+        stay loadable: restore normalizes npz keys too."""
+        import json
+        p = str(tmp_path / "old.npz")
+        np.savez(p, **{".params/dense/kernel": np.full((2, 2), 3.0),
+                       "__metadata__": json.dumps({})})
+        got = restore_checkpoint(
+            p, {"params": {"dense": {"kernel": np.zeros((2, 2))}}})
+        np.testing.assert_array_equal(got["params"]["dense"]["kernel"],
+                                      np.full((2, 2), 3.0))
+
 
 class TestTorchConversions:
     def test_conv_transpose(self, rng):

@@ -42,8 +42,11 @@ class TestStemLowering:
     def test_production_canvas_bf16(self):
         """The serving detector's exact stem geometry (detect/detector.py
         CANVAS=720x1088, stem_r=8, bf16) must lower for TPU. This test
-        FAILS on round-4 HEAD (tj=34 out-block) and is the regression
-        gate for _pick_tile."""
+        FAILS on round-4 HEAD (tj=34 out-block). NOTE this gate stops at
+        Mosaic lowering; infer-vector-layout and memref lowering run only
+        in the real backend compile, so new kernel geometries must also
+        be compile-probed on hardware (round-5 failures #2 and #3 in the
+        stem_pallas.py module docstring passed here and died on-chip)."""
         from synergynet_tpu.detect.stem_pallas import fused_stem1_s2d8
         b, h8, w8, c, cout = 1, 90, 136, 192, 48
         x = jnp.zeros((b, h8, w8, c), jnp.bfloat16)
@@ -63,25 +66,24 @@ class TestStemLowering:
             lambda x, k, b: fused_stem1_s2d8(x, k, b, cout=cout),
             x, k, bias)
 
-    def test_pick_tile_legality(self):
-        """Every tile _pick_tile returns satisfies Mosaic's rule for the
-        second-to-last out-block dim: multiple of 8, or the full width."""
-        from synergynet_tpu.detect.stem_pallas import _pick_tile
-        for w8 in range(1, 512):
-            t = _pick_tile(w8)
-            if t is None:
+    def test_pick_row_band_legality(self):
+        """Every band _pick_row_band returns divides h8, and its working
+        set fits the VMEM budget; production geometry gets a real band."""
+        from synergynet_tpu.detect.stem_pallas import (_pick_row_band,
+                                                       _round_up)
+        for h8 in (12, 30, 90, 97, 180):
+            hb = _pick_row_band(h8, 136, 192, 48)
+            if hb is None:
                 continue
-            assert w8 % t == 0, (w8, t)
-            assert t % 8 == 0 or t == w8, (w8, t)
-        assert _pick_tile(136) == 8          # the production canvas
-        assert _pick_tile(128) == 32
+            assert h8 % hb == 0, (h8, hb)
+        assert _pick_row_band(90, 136, 192, 48) == 10   # production, bf16
+        assert _round_up(137, 16) == 144
 
-    def test_auto_mode_falls_back_when_untileable(self):
-        """StemS2D8 mode=None must not select the Pallas path for widths
-        with no Mosaic-legal tile (e.g. W8=41, prime > 40)."""
-        from synergynet_tpu.detect.stem_pallas import _pick_tile
-        assert _pick_tile(41 * 2) is None or (41 * 2) % 8 == 0
-        assert _pick_tile(82) is None        # 82 = 2*41: no mult-of-8 divisor
+    def test_huge_width_falls_back(self):
+        """Widths whose single-band working set exceeds VMEM must return
+        None so StemS2D8 mode='pallas' can raise toward the XLA path."""
+        from synergynet_tpu.detect.stem_pallas import _pick_row_band
+        assert _pick_row_band(1, 100000, 192, 48) is None
 
 
 class TestDecodeLowering:
