@@ -47,9 +47,6 @@ def main():
                     help="1: deferred-payload compact-record kernel "
                          "(tested alternative); 0: in-kernel payloads "
                          "(the default path)")
-    ap.add_argument("--packed", type=int, default=0,
-                    help="1: PACK4 chunk-aligned packed records "
-                         "(_prepare_packed + packed kernel)")
     ap.add_argument("--per-face", type=int, default=1,
                     help="1: per-face prep (_prepare_faces, the engine "
                          "path at faces>1); 0: global sort+gather")
@@ -67,10 +64,9 @@ def main():
     from synergynet_tpu.pipeline import overlay_engine as oe
     from synergynet_tpu.pipeline.overlay_engine import DEFAULT_REPLICATION
     deferred = bool(args.deferred)
-    packed = bool(args.packed)
     # render_lit_faces doesn't expose the kernel choice; patch its binding.
     oe.rasterize_buffers_tiled = functools.partial(
-        rt.rasterize_buffers_tiled, deferred=deferred, packed=packed)
+        rt.rasterize_buffers_tiled, deferred=deferred)
     render_lit_faces = oe.render_lit_faces
 
     pack = load_param_pack()
@@ -148,7 +144,7 @@ def main():
                 zb, col = rt.rasterize_buffers_tiled(
                     flat + i.astype(jnp.float32) * 1e-6, tj_all, colors,
                     h=h, w=w, ry=ry, rx=rx, interpret=interpret,
-                    deferred=deferred, packed=packed, faces=prep_faces)
+                    deferred=deferred, faces=prep_faces)
                 return acc + zb[99, 99] + col[500, 500, 0]
             return lax.fori_loop(0, n, body, jnp.float32(0.0))
         results["raster"] = round(slope_ms(loop_raster, flat, tj_all,
@@ -485,42 +481,6 @@ def main():
             return lax.fori_loop(0, n, body, jnp.float32(0.0))
         results["kernel"] = round(slope_ms(loop_kernel, c2b, cc, s0, rs), 2)
         print("# kernel", results["kernel"], flush=True)
-
-    if "pprep" in want:
-        # _prepare_packed alone (per-face sorts + chunk maps + composed
-        # PACK4 remat gather).
-        def loop_pprep(n, flat, tj_all, colors):
-            def body(i, acc):
-                rec = rt._plane_setup(flat + i.astype(jnp.float32) * 1e-6,
-                                      tj_all, [colors[:, 0], colors[:, 1],
-                                               colors[:, 2]])
-                c2b, cc, rp = rt._prepare_packed(
-                    rec, tj_all.shape[0], prep_faces,
-                    h=h, w=w, ry=ry, rx=rx)
-                return (acc + cc.sum().astype(jnp.float32)
-                        + rp[123, 7] + c2b[50].astype(jnp.float32))
-            return lax.fori_loop(0, n, body, jnp.float32(0.0))
-        results["pprep"] = round(slope_ms(loop_pprep, flat, tj_all,
-                                          colors), 2)
-        print("# pprep", results["pprep"], flush=True)
-
-    if "pkernel" in want:
-        rec0 = jax.jit(rt._plane_setup)(flat, tj_all,
-                                        [colors[:, 0], colors[:, 1],
-                                         colors[:, 2]])
-        c2b, cc, rp = [jnp.asarray(x) for x in jax.jit(
-            lambda r: rt._prepare_packed(r, tj_all.shape[0], prep_faces,
-                                         h=h, w=w, ry=ry, rx=rx))(rec0)]
-
-        def loop_pkernel(n, c2b, cc, rp):
-            def body(i, acc):
-                zb, pays = rt._launch_packed(
-                    c2b, cc, rp + i.astype(jnp.float32) * 1e-9,
-                    h=h, w=w, n_payload=3, interpret=interpret)
-                return acc + zb[99, 99] + pays[0, 500, 500]
-            return lax.fori_loop(0, n, body, jnp.float32(0.0))
-        results["pkernel"] = round(slope_ms(loop_pkernel, c2b, cc, rp), 2)
-        print("# pkernel", results["pkernel"], flush=True)
 
     if "light" in want:
         from synergynet_tpu.render.lighting import (OVERLAY_LIGHT_CFG,

@@ -489,196 +489,6 @@ def _prepare_faces(rec, t, faces, *, h, w, ry, rx):
     return c2b, ccount, src0, rec_sorted
 
 
-PACK4 = 128 // REC_W     # 4 full 32-lane records per 128-lane row
-GP = 4                   # packed rows per VPU sub-batch: GP*PACK4 = 16 recs
-
-
-def _prepare_packed(rec, t, faces, *, h, w, ry, rx):
-    """PACK4-packed chunk-aligned remat of the per-face bin-sorted FULL
-    records: (T, REC_W) records -> (c2b, ccount, rec_packed
-    (C * CHUNK // PACK4, 128)).
-
-    The in-place formulation (:func:`_prepare_faces`) materializes ALL
-    T * R copy rows 128-lane padded — at 8 faces on a (4, 2) grid that is
-    6.8M rows x 512 B = 3.5 GB of gather traffic, ~80% of it parked
-    copies past every segment end that the kernel never reads. Here the
-    composed (chunk source position -> sorted copy -> record row) gather
-    writes only the rows the kernel WILL read (live segments + chunk-tail
-    pad), 4 records per 128-lane row — chunk-aligned, so the kernel DMA
-    reads a static CHUNK // PACK4-row window per chunk and moves 4x fewer
-    bytes per record. Unlike the compact/deferred path this keeps the
-    payload planes IN the records (the deferred experiment's loss came
-    from the per-winner payload pass, not the packing —
-    docs/RENDERER.md)."""
-    rcount = ry * rx
-    t1 = t // faces
-    n1 = t1 * rcount
-    rec, order_tri, c2b, ccount, src0 = _face_maps(
-        rec, t, faces, h=h, w=w, ry=ry, rx=rx)
-
-    # Chunk c's records sit at face-major sorted positions
-    # src0[c] .. src0[c] + CHUNK; position p = face p // n1, sorted slot
-    # p % n1, i.e. record row (p // n1) * t1 + order_tri.reshape(-1)[p].
-    pos = jnp.clip(src0[:, None]
-                   + jnp.arange(CHUNK, dtype=jnp.int32)[None],
-                   0, faces * n1 - 1)                        # (C, CHUNK)
-    pos = pos.reshape(-1)
-    row = (pos // n1) * t1 + order_tri.reshape(-1)[pos]
-    rec_packed = rec[row].reshape(-1, PACK4 * REC_W)         # (C*CHUNK/4,128)
-    return c2b, ccount, rec_packed
-
-
-def _raster_kernel_packed(c2b_ref, cc_ref, rec_hbm, *out_refs,
-                          nbx, n_payload):
-    """PACK4-packed variant of :func:`_raster_kernel`: 4 full records per
-    128-lane scratch row, payload planes still evaluated in-kernel.
-    Record order within a chunk is the sorted order (slot k of row j =
-    record j * PACK4 + k), so the equal-depth winner is the min record
-    index — exactly :func:`_raster_kernel`'s min-index one-hot, i.e. the
-    reference's sequential first-triangle-wins rule."""
-    *out_refs, scratch, sem = out_refs
-    zbuf_ref = out_refs[0]
-    pay_refs = out_refs[1:]
-    rows = CHUNK // PACK4
-    c = pl.program_id(0)
-    nsteps = pl.num_programs(0)
-    b = c2b_ref[c]
-    prev = c2b_ref[jnp.maximum(c - 1, 0)]
-    first = jnp.logical_or(c == 0, b != prev)
-
-    # Chunk c's rows sit at the STATIC offset c*rows (chunk-aligned).
-    def start_dma(cc_idx, slot):
-        pltpu.make_async_copy(
-            rec_hbm.at[pl.ds(cc_idx * rows, rows)],
-            scratch.at[slot], sem.at[slot]).start()
-
-    @pl.when(jnp.logical_and(c == 0, cc_ref[0] > 0))
-    def _warmup():
-        start_dma(0, 0)
-
-    @pl.when(jnp.logical_and(c + 1 < nsteps, cc_ref[
-        jnp.minimum(c + 1, nsteps - 1)] > 0))
-    def _prefetch_next():
-        start_dma(c + 1, (c + 1) % 2)
-
-    @pl.when(first)
-    def _init():
-        zbuf_ref[:] = jnp.full((TH, TW), DEPTH_INIT, jnp.float32)
-        for pr in pay_refs:
-            pr[:] = jnp.zeros((TH, TW), jnp.float32)
-
-    count = cc_ref[c]
-
-    @pl.when(count > 0)
-    def _work():
-        slot = c % 2
-        pltpu.make_async_copy(rec_hbm.at[pl.ds(c * rows, rows)],
-                              scratch.at[slot], sem.at[slot]).wait()
-        rec_ref = scratch.at[slot]
-        by = (b // nbx).astype(jnp.float32)
-        bx = (b % nbx).astype(jnp.float32)
-        ids = jax.lax.broadcasted_iota(jnp.int32, (1, TH * TW), 1)
-        pxf = bx * TW + (ids % TW).astype(jnp.float32)
-        pyf = by * TH + (ids // TW).astype(jnp.float32)
-        jio = jax.lax.broadcasted_iota(jnp.int32, (GP, 1), 0)
-        big = jnp.int32(CHUNK)
-
-        def body(g, carry):
-            zb, pays = carry
-            r = rec_ref[pl.ds(g * GP, GP), :]                # (GP, 128)
-            ds, pvs, ridx = [], [], []
-            for k in range(PACK4):
-                o = k * REC_W
-
-                def plane(i, o=o):
-                    return (r[:, o + i:o + i + 1] * pxf
-                            + r[:, o + i + 1:o + i + 2] * pyf
-                            + r[:, o + i + 2:o + i + 3])
-
-                u = plane(0)
-                v = plane(3)
-                d = plane(6)
-                live = (g * (GP * PACK4) + jio * PACK4 + k) < count
-                cov = (live & (u >= 0) & (v >= 0) & (u + v < 1)
-                       & (pxf >= r[:, o + _BBOX0:o + _BBOX0 + 1])
-                       & (pxf <= r[:, o + _BBOX0 + 1:o + _BBOX0 + 2])
-                       & (pyf >= r[:, o + _BBOX0 + 2:o + _BBOX0 + 3])
-                       & (pyf <= r[:, o + _BBOX0 + 3:o + _BBOX0 + 4]))
-                ds.append(jnp.where(cov, d, _NEVER))
-                pvs.append([plane(_PAYLOAD0 + 3 * j)
-                            for j in range(n_payload)])
-                ridx.append(jio * PACK4 + k)                 # (GP, 1)
-
-            dm = ds[0]
-            for dk in ds[1:]:
-                dm = jnp.maximum(dm, dk)
-            bd = jnp.max(dm, axis=0, keepdims=True)          # (1, P)
-            wi = None
-            for dk, rk in zip(ds, ridx):
-                cand = jnp.where(dk == bd, rk, big)
-                wi = cand if wi is None else jnp.minimum(wi, cand)
-            wi = jnp.min(wi, axis=0, keepdims=True)          # (1, P)
-            upd = bd > zb
-            zb = jnp.where(upd, bd, zb)
-            new_pays = []
-            for j, pz in enumerate(pays):
-                acc = None
-                for dk, rk, pv in zip(ds, ridx, pvs):
-                    term = pv[j] * (rk == wi).astype(jnp.float32)
-                    acc = term if acc is None else acc + term
-                new_pays.append(jnp.where(upd,
-                                          jnp.sum(acc, axis=0,
-                                                  keepdims=True), pz))
-            return zb, new_pays
-
-        zb0 = zbuf_ref[:].reshape(1, TH * TW)
-        pays0 = [pr[:].reshape(1, TH * TW) for pr in pay_refs]
-        zb, pays = jax.lax.fori_loop(0, pl.cdiv(count, GP * PACK4), body,
-                                     (zb0, pays0))
-        zbuf_ref[:] = zb.reshape(TH, TW)
-        for pr, pv in zip(pay_refs, pays):
-            pr[:] = pv.reshape(TH, TW)
-
-
-def _launch_packed(c2b, ccount, rec_packed, *, h, w, n_payload, interpret):
-    """pallas_call over PACK4-packed chunk-aligned records ->
-    (zbuf, payload list) — same output contract as :func:`_launch`."""
-    nby, nbx = -(-h // TH), -(-w // TW)
-    total_chunks_max = c2b.shape[0]
-    hpad, wpad = nby * TH, nbx * TW
-    tile_spec = pl.BlockSpec(
-        (TH, TW), lambda c, c2b, cc: (c2b[c] // nbx, c2b[c] % nbx),
-        memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(total_chunks_max,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # HBM-resident
-        out_specs=[tile_spec for _ in range(1 + n_payload)],
-        scratch_shapes=[
-            pltpu.VMEM((2, CHUNK // PACK4, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    outs = pl.pallas_call(
-        functools.partial(_raster_kernel_packed, nbx=nbx,
-                          n_payload=n_payload),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((hpad, wpad), jnp.float32)
-                   for _ in range(1 + n_payload)],
-        cost_estimate=pl.CostEstimate(
-            flops=(14 + 2 * n_payload) * total_chunks_max * CHUNK * TH * TW,
-            bytes_accessed=total_chunks_max * CHUNK * REC_W * 4
-            + (1 + n_payload) * hpad * wpad * 8,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(c2b, ccount, rec_packed)
-    zbuf = outs[0][:h, :w]
-    pays = jnp.stack([o[:h, :w] for o in outs[1:]]) if n_payload else \
-        jnp.zeros((0, h, w), jnp.float32)
-    return zbuf, pays
-
-
 def _prepare_compact(rec, t, *, h, w, ry, rx):
     """Compact-record variant of :func:`_prepare`: (T, RECC_W) records ->
     (c2b (C,), ccount (C,), rec_packed (C * CHUNK // PACK, 128)).
@@ -898,13 +708,8 @@ def _launch(c2b, ccount, src0, rec_sorted, *, h, w, n_payload, interpret):
 
 
 def _run_tiled(rec, vertices, triangles, *, h, w, ry, rx, n_payload,
-               interpret, faces=1, packed=False):
+               interpret, faces=1):
     t = triangles.shape[0]
-    if packed and _faces_fit_packed_sort(t, faces, h=h, w=w):
-        c2b, ccount, rec_packed = _prepare_packed(
-            rec, t, faces, h=h, w=w, ry=ry, rx=rx)
-        return _launch_packed(c2b, ccount, rec_packed, h=h, w=w,
-                              n_payload=n_payload, interpret=interpret)
     if faces > 1 and _faces_fit_packed_sort(t, faces, h=h, w=w):
         c2b, ccount, src0, rec_sorted = _prepare_faces(
             rec, t, faces, h=h, w=w, ry=ry, rx=rx)
@@ -916,22 +721,19 @@ def _run_tiled(rec, vertices, triangles, *, h, w, ry, rx, n_payload,
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "ry", "rx",
-                                             "interpret", "faces",
-                                             "packed"))
+                                             "interpret", "faces"))
 def _rasterize_color(vertices, triangles, colors, *, h, w, ry, rx,
-                     interpret, faces=1, packed=False):
+                     interpret, faces=1):
     rec = _plane_setup(vertices, triangles,
                        [colors[:, 0], colors[:, 1], colors[:, 2]])
     return _run_tiled(rec, vertices, triangles, h=h, w=w, ry=ry, rx=rx,
-                      n_payload=3, interpret=interpret, faces=faces,
-                      packed=packed)
+                      n_payload=3, interpret=interpret, faces=faces)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "ry", "rx",
-                                             "interpret", "faces",
-                                             "packed"))
+                                             "interpret", "faces"))
 def _rasterize_color_auto(vertices, triangles, colors, *, h, w, ry, rx,
-                          interpret, faces=1, packed=False):
+                          interpret, faces=1):
     """Color rasterize with a data-dependent copy grid.
 
     (ry, rx) must be sized for the worst case (canvas-wide rois -> ~18 px
@@ -947,8 +749,7 @@ def _rasterize_color_auto(vertices, triangles, colors, *, h, w, ry, rx,
                        [colors[:, 0], colors[:, 1], colors[:, 2]])
     if (ry, rx) == (2, 2) or ry < 2:
         return _run_tiled(rec, vertices, triangles, h=h, w=w, ry=ry, rx=rx,
-                          n_payload=3, interpret=interpret, faces=faces,
-                          packed=packed)
+                          n_payload=3, interpret=interpret, faces=faces)
     # Unclamped ceil/floor bbox extents: E <= TILE guarantees the bbox
     # touches at most 2 bins per axis even when it straddles a boundary.
     ey = jnp.max(rec[:, _BBOX0 + 3] - rec[:, _BBOX0 + 2])
@@ -959,8 +760,7 @@ def _rasterize_color_auto(vertices, triangles, colors, *, h, w, ry, rx,
         def f(r):
             return _run_tiled(r, vertices, triangles, h=h, w=w,
                               ry=g[0], rx=g[1], n_payload=3,
-                              interpret=interpret, faces=faces,
-                              packed=packed)
+                              interpret=interpret, faces=faces)
         return f
 
     return jax.lax.cond(small, run((2, 2)), run((ry, rx)), rec)
@@ -1026,7 +826,6 @@ def rasterize_buffers_tiled(vertices: jnp.ndarray, triangles: jnp.ndarray,
                             auto_replication: bool = False,
                             deferred: bool = False,
                             faces: int = 1,
-                            packed: bool = False
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in equivalent of :func:`raster.rasterize_buffers` on the tiled
     kernel: (depth (h, w) f32 init -1e8, color (h, w, 3)).
@@ -1055,14 +854,12 @@ def rasterize_buffers_tiled(vertices: jnp.ndarray, triangles: jnp.ndarray,
     off-default as a tested, documented negative result
     (tests/test_raster_tiled.py::test_deferred_matches_inkernel_payloads).
 
-    ``packed``: PACK4-packed chunk-aligned records — the composed remat
-    gather writes only the rows the kernel will read, 4 full records per
-    128-lane row (the in-place formulation materializes every T * R copy
-    row 128-lane padded: 3.5 GB at 8 faces, ~80% of it parked copies the
-    kernel never reads). Payload planes stay in-kernel, record order and
-    winner semantics are identical (:func:`_prepare_packed`). Composes
-    with ``faces``; falls back to the in-place path when the per-face
-    packed sort key does not fit int32.
+    A third variant — PACK4 chunk-aligned packed FULL records with
+    in-kernel payloads — was built in round 4 and measured on-chip in
+    round 5: the packed kernel matched the default (37.8 vs 34.4 ms at 8
+    faces @720x1088) but its composed remat gather made prep 2.8x slower
+    (388.8 vs 137.0 ms), 421 vs 190 ms end-to-end raster stage. Deleted
+    per that measurement; the decision record lives in docs/RENDERER.md.
     """
     kw = {}
     if deferred:
@@ -1074,7 +871,6 @@ def rasterize_buffers_tiled(vertices: jnp.ndarray, triangles: jnp.ndarray,
             raise ValueError(
                 f"faces={faces} does not divide T={triangles.shape[0]}")
         kw["faces"] = faces
-        kw["packed"] = packed
     zbuf, pay = fn(
         jnp.asarray(vertices, jnp.float32),
         jnp.asarray(triangles, jnp.int32),

@@ -20,7 +20,9 @@ Covers all 8 ``pallas_call`` sites:
     serving geometry: 720x1088 canvas -> (B, 90, 136, 192) bf16)
   - ops/fused_decode.py::_decode_dense_fused
   - render/raster_tiled.py: _launch (default, color n_payload=3 and
-    visibility n_payload=2), _launch_packed, _launch_compact (deferred)
+    visibility n_payload=2), _launch_compact (deferred); the PACK4
+    packed variant was deleted after the round-5 on-chip measurement
+    (docs/RENDERER.md)
 """
 
 import numpy as np
@@ -116,19 +118,18 @@ def _mesh(rng, faces, t1=16, v1=12, h=64, w=64):
 class TestRasterLowering:
     H = W = 64
 
-    @pytest.mark.parametrize("packed,deferred,faces", [
-        (False, False, 1),      # default in-place path (_launch)
-        (False, False, 4),      # per-face prep, same kernel
-        (True, False, 4),       # PACK4 packed records (_launch_packed)
-        (False, True, 1),       # deferred compact (_launch_compact)
+    @pytest.mark.parametrize("deferred,faces", [
+        (False, 1),             # default in-place path (_launch)
+        (False, 4),             # per-face prep, same kernel
+        (True, 1),              # deferred compact (_launch_compact)
     ])
-    def test_color_paths(self, packed, deferred, faces):
+    def test_color_paths(self, deferred, faces):
         from synergynet_tpu.render.raster_tiled import rasterize_buffers_tiled
-        rng = np.random.default_rng(40 + faces + 2 * packed + 4 * deferred)
+        rng = np.random.default_rng(40 + faces + 4 * deferred)
         verts, tris, cols = _mesh(rng, faces, h=self.H, w=self.W)
         kw = dict(h=self.H, w=self.W, ry=2, rx=2)
         if not deferred:
-            kw.update(faces=faces, packed=packed)
+            kw.update(faces=faces)
         _assert_lowers_for_tpu(
             jax.jit(lambda v, t, c: rasterize_buffers_tiled(
                 v, t, c, deferred=deferred, **kw)),

@@ -147,34 +147,6 @@ class TestTiledRasterize:
         np.testing.assert_array_equal(np.asarray(ca), np.asarray(cf))
         assert (np.asarray(za) > DEPTH_INIT).any()
 
-    @pytest.mark.parametrize("faces,auto", [(1, False), (4, False),
-                                            (4, True)])
-    def test_packed_prep_bit_identical(self, faces, auto):
-        """packed=True (PACK4 chunk-aligned remat + packed-row kernel)
-        must be BIT-identical to the in-place path: same sorted record
-        order per chunk, same min-record-index winner rule, payload
-        planes evaluated by the same formula in the same f32 order."""
-        rng = np.random.default_rng(33 + faces)
-        F, T1, V1 = faces, 130, 50
-        h, w = 96, 200
-        tris = rng.integers(0, V1, (T1, 3)).astype(np.int32)
-        verts, cols = [], []
-        for _ in range(F):
-            off = rng.uniform([0, 0, 0], [w - 40, h - 40, 5])
-            verts.append(rng.uniform(0, 40, (V1, 3)) + off)
-            cols.append(rng.uniform(0, 1, (V1, 3)))
-        verts = np.concatenate(verts).astype(np.float32)
-        cols = np.concatenate(cols).astype(np.float32)
-        tris_all = (tris[None] + (np.arange(F, dtype=np.int32) * V1
-                                  )[:, None, None]).reshape(-1, 3)
-        kw = dict(h=h, w=w, ry=4, rx=2, interpret=True,
-                  auto_replication=auto, faces=F)
-        za, ca = rasterize_buffers_tiled(verts, tris_all, cols, **kw)
-        zp, cp = rasterize_buffers_tiled(verts, tris_all, cols,
-                                         packed=True, **kw)
-        np.testing.assert_array_equal(np.asarray(za), np.asarray(zp))
-        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cp))
-        assert (np.asarray(za) > DEPTH_INIT).any()
 
     def test_multiface_faces_must_divide(self):
         verts = np.zeros((6, 3), np.float32)
