@@ -68,6 +68,19 @@ class TestStemLowering:
             lambda x, k, b: fused_stem1_s2d8(x, k, b, cout=cout),
             x, k, bias)
 
+    def test_odd_width_lowers(self):
+        """The row-band design removed the column-tiling divisibility
+        constraint: the out block spans the full W8, which is always a
+        legal block dim — odd widths must lower too."""
+        from synergynet_tpu.detect.stem_pallas import fused_stem1_s2d8
+        b, h8, w8, c, cout = 1, 12, 17, 192, 48
+        x = jnp.zeros((b, h8, w8, c), jnp.bfloat16)
+        k = jnp.zeros((2, 2, c, 4 * cout), jnp.bfloat16)
+        bias = jnp.zeros((4 * cout,), jnp.bfloat16)
+        _assert_lowers_for_tpu(
+            lambda x, k, b: fused_stem1_s2d8(x, k, b, cout=cout),
+            x, k, bias)
+
     def test_pick_row_band_legality(self):
         """Every band _pick_row_band returns divides h8, and its working
         set fits the VMEM budget; production geometry gets a real band."""
