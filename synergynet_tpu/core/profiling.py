@@ -110,8 +110,8 @@ def device_memory_stats(device: Optional[jax.Device] = None
 def cache_fingerprint(xla_flags: str = None) -> str:
     """Short hash of everything that silently invalidates persistent-cache
     entries without changing their cache key: the XLA flags the process runs
-    under, the platform selection, the host CPU's feature flags, and the jax
-    version.
+    under, the platform selection, the host CPU's feature flags, the VM
+    boot id, and the jax version.
 
     XLA:CPU AOT executables embed target-machine features chosen at compile
     time (including plugin-injected pseudo-features like
@@ -136,6 +136,17 @@ def cache_fingerprint(xla_flags: str = None) -> str:
     flags = (os.environ.get("XLA_FLAGS", "") if xla_flags is None
              else xla_flags)
     cpu_parts = [_platform.machine()]
+    # LLVM detects the CPU via cpuid, not /proc/cpuinfo, so two VMs with
+    # byte-identical cpuinfo model/flags lines can still disagree on the
+    # derived tuning pseudo-features (observed round 5: a dryrun on a new
+    # host VM loaded the old VM's AOT entries under the same fingerprint
+    # and logged +prefer-no-scatter mismatches). The boot id pins entries
+    # to one boot of one VM — the only scope where cpuid is constant.
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            cpu_parts.append(f.read().strip())
+    except OSError:
+        pass
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
