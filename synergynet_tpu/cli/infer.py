@@ -96,7 +96,7 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None,
                    help="framework .npz, reference .pth.tar, or the "
                         "literal 'trained' for the shipped full-recipe "
-                        "weights (assets/trained/)")
+                        "weights (synergynet_tpu/assets/trained/)")
     args = p.parse_args(argv)
     r = run(args.files, out_dir=args.out_dir, png=args.png,
             alpha=args.alpha, checkpoint=args.checkpoint)

@@ -115,25 +115,26 @@ _TRAINED_ASSETS = {"mobilenet_v2": "synergynet_mbv2_shaded680k_ep80.npz"}
 
 
 def shipped_trained_path(arch: str = "mobilenet_v2") -> str:
-    """Path of the in-repo trained asset for ``arch`` (assets/trained/,
-    exported by scripts/export_trained.py from the executed full-recipe
-    run). Raises for archs without a shipped run.
+    """Path of the shipped trained asset for ``arch`` (package data under
+    ``synergynet_tpu/assets/trained/``, exported by
+    scripts/export_trained.py from the executed full-recipe run — the role
+    of the reference's released ``pretrained/best.pth.tar``). Raises for
+    archs without a shipped run.
 
-    REQUIRES A REPO CHECKOUT: the asset is resolved relative to the source
-    tree and is not wheel package data (pyproject packages only
-    ``synergynet_tpu*``). Wheel installs should pass an explicit
-    checkpoint path instead (ADVICE round 4)."""
+    The asset is wheel package data (pyproject ``[tool.setuptools.
+    package-data]``), so this works for installed wheels as well as repo
+    checkouts (ADVICE round 4)."""
     if arch not in _TRAINED_ASSETS:
         raise ValueError(
             f"no shipped trained weights for arch {arch!r} "
             f"(have: {sorted(_TRAINED_ASSETS)})")
-    root = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    path = os.path.join(root, "assets", "trained", _TRAINED_ASSETS[arch])
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(pkg_root, "assets", "trained",
+                        _TRAINED_ASSETS[arch])
     if not os.path.exists(path):
         raise FileNotFoundError(
-            f"shipped trained asset missing at {path} — repo checkout "
-            "incomplete?")
+            f"shipped trained asset missing at {path} — package data not "
+            "installed?")
     return path
 
 

@@ -70,12 +70,12 @@ class SynergyNet3DMM:
     """Construct once; call :meth:`get_all_outputs` per image.
 
     ``variables`` may come from training, a checkpoint, the string
-    ``"trained"`` (loads the shipped full-recipe weights from
-    ``assets/trained/`` — the role of the reference's released
-    ``pretrained/best.pth.tar``, reference synergy3DMM.py:95-104; requires
-    a repo checkout, since the asset is not wheel package data — wheel
-    installs must pass a checkpoint path), or (default) deterministic
-    random init so the pipeline runs without any checkpoint at all.
+    ``"trained"`` (loads the shipped full-recipe weights from the
+    ``synergynet_tpu/assets/trained/`` package data — the role of the
+    reference's released ``pretrained/best.pth.tar``, reference
+    synergy3DMM.py:95-104; works for wheel installs too), or (default)
+    deterministic random init so the pipeline runs without any checkpoint
+    at all.
     """
 
     def __init__(self, arch: str = "mobilenet_v2",

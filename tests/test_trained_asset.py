@@ -17,8 +17,9 @@ import pytest
 from synergynet_tpu.core.checkpoint import (checkpoint_metadata,
                                             load_trained_variables)
 
-ASSET = os.path.join(os.path.dirname(__file__), os.pardir, "assets",
-                     "trained", "synergynet_mbv2_shaded680k_ep80.npz")
+ASSET = os.path.join(os.path.dirname(__file__), os.pardir,
+                     "synergynet_tpu", "assets", "trained",
+                     "synergynet_mbv2_shaded680k_ep80.npz")
 
 
 @pytest.fixture(scope="module")
