@@ -106,21 +106,13 @@ def main():
         return detector, api, engine, bench_loop, frame_s2d, args
 
     # Compile + warmup. One experimental kernel must never zero out the
-    # round's headline (VERDICT r4 item 8): if the default stem path fails
-    # to compile, fall back to the proven XLA stem and report the error.
-    stem_fallback = None
-    try:
-        _note("compiling B=1 fused program (default stem path)")
-        (detector, api, engine, bench_loop, frame_s2d,
-         args) = build(None)
-        float(bench_loop(*args, 2))
-    except Exception as e:                                # pragma: no cover
-        stem_fallback = f"{type(e).__name__}: {e}"[:300]
-        _note(f"default stem failed ({stem_fallback}); retrying with "
-              "the XLA stem")
-        (detector, api, engine, bench_loop, frame_s2d,
-         args) = build("xla")
-        float(bench_loop(*args, 2))
+    # round's headline (VERDICT r4 item 8): pin the proven XLA stem
+    # explicitly rather than trusting whatever the library default is —
+    # a future default flip cannot change what this bench measures.
+    _note("compiling B=1 fused program (stem pinned to XLA)")
+    (detector, api, engine, bench_loop, frame_s2d,
+     args) = build("xla")
+    float(bench_loop(*args, 2))
     _note("B=1 compiled; measuring slopes")
 
     def run(n):
@@ -209,7 +201,7 @@ def main():
                   "fps_batched": round(fps_batch, 1),
                   "dispatch_batch": best_b,
                   "batch_error": batch_err,
-                  "stem_fallback": stem_fallback},
+                  "stem_mode": "xla (pinned)"},
     }))
 
 

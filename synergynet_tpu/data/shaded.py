@@ -58,6 +58,13 @@ from synergynet_tpu.mm3d.assets import STD_SIZE, ParamPack
 # shapes may legally round differently; ADVICE round 4).
 RENDER_CHUNK = 256
 
+# Same contract for the GT landmark decode feeding the render: both paths
+# decode params in unpadded chunks of exactly this many rows (the last
+# chunk may be short — identically short in both paths for the same n),
+# on the CPU backend, so the landmark inputs to the render are themselves
+# bit-identical across the streaming toggle.
+DECODE_CHUNK = 65536
+
 # Lambertian shading configuration: BGR albedo (host images are BGR uint8,
 # CLAUDE.md conventions), ambient + diffuse sum to 1 so intensity <= albedo.
 ALBEDO_BGR = (150.0, 180.0, 235.0)
@@ -200,11 +207,16 @@ def make_shaded_crops(n: int, pack: Optional[ParamPack] = None,
     """Host convenience mirroring ``synthetic.make_crops_with_params`` with
     shaded appearance. Renders in fixed-size batches (one compile).
 
-    ``batch`` defaults to :data:`RENDER_CHUNK` — the SAME program shape the
-    streaming ``GeneratedCropDataset`` path renders with, so toggling
-    ``cfg.data.streaming`` never changes a crop's uint8 pixels for the same
-    (seed, index) (a different batch shape may legally round differently;
-    ADVICE round 4)."""
+    Bit-identity contract with the streaming ``GeneratedCropDataset``
+    path (toggling ``cfg.data.streaming`` never changes a crop's uint8
+    pixels for the same (seed, index); ADVICE round 4): both paths run on
+    the CPU backend, decode landmarks in unpadded :data:`DECODE_CHUNK`
+    row chunks, and render in padded :data:`RENDER_CHUNK` batches — same
+    backend and same program shapes end to end (a different backend or
+    batch shape may legally round differently). Passing an explicit
+    ``batch`` opts out of the contract."""
+    import contextlib
+
     from synergynet_tpu.data.synthetic import sample_params
     from synergynet_tpu.mm3d import decode_landmarks, load_param_pack
 
@@ -213,15 +225,24 @@ def make_shaded_crops(n: int, pack: Optional[ParamPack] = None,
     pack = pack or load_param_pack()
     rng = np.random.default_rng(seed)
     params = sample_params(rng, n)
-    lmk = np.asarray(decode_landmarks(jnp.asarray(params), pack))
+    try:
+        ctx = jax.default_device(jax.devices("cpu")[0])
+    except Exception:
+        ctx = contextlib.nullcontext()
     key = jax.random.PRNGKey(seed)
     out = np.empty((n, STD_SIZE, STD_SIZE, 3), np.uint8)
-    for s in range(0, n, batch):
-        e = min(s + batch, n)
-        pad = batch - (e - s)
-        lchunk = (np.concatenate([lmk[s:e], np.repeat(lmk[:1], pad, 0)])
-                  if pad else lmk[s:e])
-        img = _render_shaded(jnp.asarray(lchunk), key,
-                             idx=jnp.arange(s, s + batch, dtype=jnp.int32))
-        out[s:e] = np.asarray(img)[:e - s]
+    with ctx:
+        lmk = np.concatenate(
+            [np.asarray(decode_landmarks(
+                jnp.asarray(params[s:s + DECODE_CHUNK]), pack))
+             for s in range(0, n, DECODE_CHUNK)])
+        for s in range(0, n, batch):
+            e = min(s + batch, n)
+            pad = batch - (e - s)
+            lchunk = (np.concatenate([lmk[s:e], np.repeat(lmk[:1], pad, 0)])
+                      if pad else lmk[s:e])
+            img = _render_shaded(jnp.asarray(lchunk), key,
+                                 idx=jnp.arange(s, s + batch,
+                                                dtype=jnp.int32))
+            out[s:e] = np.asarray(img)[:e - s]
     return {"images": out, "params": params, "landmarks": lmk}

@@ -130,12 +130,18 @@ class GeneratedCropDataset:
 
     def __init__(self, n: int, pack: Optional[ParamPack] = None,
                  seed: int = 0, size: int = 120, transform=None,
-                 decode_chunk: int = 65536, appearance: str = "dots"):
+                 decode_chunk: int = None, appearance: str = "dots"):
         import contextlib
 
         import jax
         import jax.numpy as jnp
+        from synergynet_tpu.data.shaded import DECODE_CHUNK
         from synergynet_tpu.mm3d import decode_landmarks
+
+        if decode_chunk is None:
+            # Shared with make_shaded_crops: identical decode chunking is
+            # part of the streaming/materialized bit-identity contract.
+            decode_chunk = DECODE_CHUNK
 
         if appearance not in ("dots", "shaded"):
             raise ValueError(f"unknown appearance {appearance!r}")

@@ -162,10 +162,16 @@ class StemS2D8(nn.Module):
             # (infer-vector-layout), which no off-chip gate catches.
             mode = "xla"
         if mode == "pallas":
-            from synergynet_tpu.detect.stem_pallas import fused_stem1_s2d8
-            return fused_stem1_s2d8(
-                x, kernel, bias.astype(dt), cout=self.cout,
-                interpret=jax.default_backend() != "tpu")
+            from synergynet_tpu.detect import stem_pallas
+            if stem_pallas._pick_row_band(
+                    x.shape[1], x.shape[2], c, self.cout,
+                    jnp.dtype(dt).itemsize) is not None:
+                return stem_pallas.fused_stem1_s2d8(
+                    x, kernel, bias.astype(dt), cout=self.cout,
+                    interpret=jax.default_backend() != "tpu")
+            # No VMEM-sized row band for this geometry: take the XLA path
+            # below — the wired fallback CLAUDE.md's kernel policy
+            # requires — instead of propagating the kernel's ValueError.
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(dt), window_strides=(1, 1),
             padding=((1, 0), (1, 0)),

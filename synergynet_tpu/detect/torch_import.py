@@ -25,8 +25,20 @@ import numpy as np
 
 from synergynet_tpu.detect.net import FaceBoxesNet
 
-_ASSET_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "assets")
+def _asset_dir() -> str:
+    """Repo ``assets/`` in a checkout; a user cache dir for wheel installs
+    (the package parent is site-packages there — generated caches must not
+    be written into the install; see mm3d.assets._default_cache_path)."""
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if os.path.exists(os.path.join(root, "pyproject.toml")):
+        return os.path.join(root, "assets")
+    base = (os.environ.get("XDG_CACHE_HOME")
+            or os.path.join(os.path.expanduser("~"), ".cache"))
+    return os.path.join(base, "synergynet_tpu")
+
+
+_ASSET_DIR = _asset_dir()
 _NPZ_CACHE = os.path.join(_ASSET_DIR, "faceboxes.npz")
 
 # torch module path -> flax module path (same block/branch names by design).

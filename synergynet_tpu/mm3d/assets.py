@@ -255,8 +255,26 @@ def load_assets_npz(path: str) -> dict:
     return {k: z[k] for k in _ASSET_KEYS}
 
 
-_DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "assets", "bfm_synth.npz")
+def _default_cache_path() -> str:
+    """Where the generated synthetic pack is cached.
+
+    A repo checkout uses ``<repo>/assets/bfm_synth.npz`` so every process
+    (tests, bench, demos) sees identical data. For a wheel install the
+    package parent is site-packages — writing a generated file there would
+    pollute (or, read-only, crash) the install — so fall back to a
+    user-writable cache dir (ADVICE round 4 / round-5 review)."""
+    root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    repo_path = os.path.join(root, "assets", "bfm_synth.npz")
+    if os.path.exists(repo_path) or os.path.exists(
+            os.path.join(root, "pyproject.toml")):   # repo checkout marker
+        return repo_path
+    base = (os.environ.get("XDG_CACHE_HOME")
+            or os.path.join(os.path.expanduser("~"), ".cache"))
+    return os.path.join(base, "synergynet_tpu", "bfm_synth.npz")
+
+
+_DEFAULT_CACHE = _default_cache_path()
 
 _PACK_CACHE: dict = {}
 

@@ -234,15 +234,20 @@ class TestS2DStem:
 
     def test_s2d8_pallas_matches_xla(self):
         """The fused Pallas stem kernel (interpret mode) vs the XLA
-        conv + phase-pool oracle, on the real canvas geometry with an
-        uneven column-tile count and negative activations in play."""
+        conv + phase-pool oracle, on a slice of the real canvas geometry
+        with negative activations in play. Checked BOTH as a single band
+        (what _pick_row_band auto-selects at h8=12) and with hb=4 (3
+        bands), so the i>0 band-boundary path — top-halo-row recompute
+        and the `row > 0 or i > 0` mask — is numerically exercised (at
+        the production h8=90 the kernel runs 9+ bands)."""
         import jax
         import jax.numpy as jnp
         from synergynet_tpu.detect.net import StemS2D8
+        from synergynet_tpu.detect.stem_pallas import fused_stem1_s2d8
         rng = np.random.default_rng(14)
         # (B, 90, 136, 192) is the real serving shape but slow in
-        # interpret mode; use a tiling-equivalent slice (w8=136 -> tj=34
-        # with 4 column tiles; halo logic identical at any h8).
+        # interpret mode; w8=136 matches production, h8=12 is a band-
+        # logic-equivalent slice.
         x = jnp.asarray(rng.normal(0, 30, (2, 12, 136, 192))
                         .astype(np.float32))
         stem = StemS2D8()
@@ -255,6 +260,28 @@ class TestS2DStem:
         got = stem.apply(v, x, mode="pallas")
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-4)
+        multi = fused_stem1_s2d8(x, v["params"]["kernel"],
+                                 v["params"]["bias"], interpret=True, hb=4)
+        np.testing.assert_allclose(np.asarray(multi), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_s2d8_pallas_band_fallback(self, monkeypatch):
+        """A geometry with no VMEM-sized row band silently takes the XLA
+        path under mode="pallas" (the wired fallback CLAUDE.md's kernel
+        policy requires) instead of raising at trace time."""
+        import jax
+        import jax.numpy as jnp
+        from synergynet_tpu.detect import stem_pallas
+        from synergynet_tpu.detect.net import StemS2D8
+        x = jnp.asarray(np.random.default_rng(16)
+                        .normal(0, 30, (1, 8, 24, 192)).astype(np.float32))
+        stem = StemS2D8()
+        v = stem.init(jax.random.PRNGKey(2), x)
+        ref = stem.apply(v, x, mode="xla")
+        monkeypatch.setattr(stem_pallas, "_pick_row_band",
+                            lambda *a, **k: None)
+        got = stem.apply(v, x, mode="pallas")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
     def test_s2d8_requires_fold(self):
         """stem_r=8 without folding falls back to the r=4 stem (the
