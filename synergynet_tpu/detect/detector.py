@@ -123,9 +123,13 @@ class FaceBoxes:
         else:
             k1 = variables["params"]["conv1"]["conv"]["kernel"]
             already_folded = "bias" in variables["params"]["conv1"]["conv"]
-            if (self.stem_r == 8 and fold_bn and not already_folded
-                    and k1.shape[0] == 7):
-                variables = fold_to_s2d8(fold_bn_variables(variables))
+            if self.stem_r == 8 and fold_bn and k1.shape[0] == 7:
+                # An already-BN-folded tree (conv bias present, round-5
+                # review) converts to the deep stem directly; a raw tree
+                # folds first.
+                if not already_folded:
+                    variables = fold_bn_variables(variables)
+                variables = fold_to_s2d8(variables)
                 self.fold_bn = True
             else:
                 if self.stem_r == 8:

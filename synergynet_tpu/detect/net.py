@@ -452,13 +452,15 @@ def fold_bn_variables(variables, eps: float = 1e-5):
 
 def variables_to_s2d(variables):
     """Convert a standard FaceBoxesNet variable tree to the stem_s2d form
-    (only conv1's conv kernel changes)."""
+    (only conv1's conv kernel changes; any folded bias rides along —
+    dropping it crashed already-folded trees, round-5 review)."""
     import jax
     params = jax.tree_util.tree_map(lambda x: x, variables["params"])
-    k7 = params["conv1"]["conv"]["kernel"]
     import jax.numpy as jnp
     params["conv1"] = dict(params["conv1"])
-    params["conv1"]["conv"] = {"kernel": jnp.asarray(stem_kernel_to_s2d(k7))}
+    conv = dict(params["conv1"]["conv"])
+    conv["kernel"] = jnp.asarray(stem_kernel_to_s2d(conv["kernel"]))
+    params["conv1"]["conv"] = conv
     out = dict(variables)
     out["params"] = params
     return out

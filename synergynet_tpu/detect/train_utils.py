@@ -71,11 +71,16 @@ def match(gt_boxes: jnp.ndarray, gt_valid: jnp.ndarray,
     best_gt_per_anchor = jnp.argmax(iou, axis=0)          # (A,)
     best_iou_per_anchor = jnp.max(iou, axis=0)
 
-    # Force-claim: anchor best_anchor_per_gt[g] belongs to gt g.
+    # Force-claim: anchor best_anchor_per_gt[g] belongs to gt g. Invalid
+    # (padded) rows argmax to anchor 0 on their all-(-1) IoU row; redirect
+    # them off-array so their dropped writes can never race a valid GT's
+    # claim of anchor 0 (duplicate-index .at[].set is nondeterministic;
+    # round-5 review).
     num_a = anchors.shape[0]
-    claimed = jnp.zeros((num_a,), bool).at[best_anchor_per_gt].set(
-        gt_valid, mode="drop")
-    gt_of_claim = jnp.zeros((num_a,), jnp.int32).at[best_anchor_per_gt].set(
+    claim_idx = jnp.where(gt_valid, best_anchor_per_gt, num_a)
+    claimed = jnp.zeros((num_a,), bool).at[claim_idx].set(
+        True, mode="drop")
+    gt_of_claim = jnp.zeros((num_a,), jnp.int32).at[claim_idx].set(
         jnp.arange(gt_boxes.shape[0], dtype=jnp.int32), mode="drop")
 
     assigned_gt = jnp.where(claimed, gt_of_claim, best_gt_per_anchor)

@@ -65,10 +65,17 @@ class DetectorTrainer:
         net, anchors, tx = self.net, self.anchors, self.tx
         match_batch = jax.vmap(match, in_axes=(0, 0, None, None))
 
+        from synergynet_tpu.detect.detector import BGR_MEAN
+
         @jax.jit
         def step(params, batch_stats, opt_state, images, gt_boxes, gt_valid):
             loc_t, labels = match_batch(gt_boxes, gt_valid, anchors,
                                         iou_threshold)
+            # Train on the SAME input transform the serving path applies
+            # (detector.py: canvas - BGR_MEAN; reference FaceBoxes.py:89)
+            # — training on raw 0-255 pixels would skew every deployed
+            # conv1/BN statistic by ~110 per channel (round-5 review).
+            images = images - jnp.asarray(BGR_MEAN, images.dtype)
 
             def loss_fn(p):
                 (loc, conf), upd = net.apply(

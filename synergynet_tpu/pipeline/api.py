@@ -167,6 +167,16 @@ class SynergyNet3DMM:
         """Batched core: returns (param62, lmk, dense, angles, t3d) numpy
         arrays, leading dim = number of faces. Pads to a bucket internally."""
         n = crops_u8.shape[0]
+        if n == 0:
+            # Keep the 5-tuple-of-arrays contract at zero faces (round-5
+            # review: the empty chunk loop used to return []).
+            nl = len(self.pack.keypoints) // 3
+            nv = self.pack.w_shp.shape[0] // 3
+            return (np.zeros((0, 62), np.float32),
+                    np.zeros((0, 3, nl), np.float32),
+                    np.zeros((0, 3, nv), np.float32),
+                    np.zeros((0, 3), np.float32),
+                    np.zeros((0, 3), np.float32))
         b = _bucket(max(n, 1))
         out = []
         for start in range(0, n, b):
@@ -253,6 +263,7 @@ class FusedFrameEngine:
     def _build(self):
         from synergynet_tpu.detect.anchors import decode_boxes
         from synergynet_tpu.detect.detector import (BGR_MEAN, CANVAS,
+                                                    CONFIDENCE_THRESHOLD,
                                                     NMS_THRESHOLD, NMS_TOP_K,
                                                     VIS_THRESHOLD)
         from synergynet_tpu.detect.nms import greedy_nms_mask
@@ -283,7 +294,7 @@ class FusedFrameEngine:
             tw = true_hw[1].astype(jnp.float32)
             cx = (boxes[:, 0] + boxes[:, 2]) / 2
             cy = (boxes[:, 1] + boxes[:, 3]) / 2
-            ok = (cx < tw) & (cy < th) & (scores > 0.05)
+            ok = (cx < tw) & (cy < th) & (scores > CONFIDENCE_THRESHOLD)
             scores = jnp.where(ok, scores, -1.0)
             top_scores, idx = jax.lax.top_k(scores, NMS_TOP_K)
             top_boxes = boxes[idx]
@@ -329,41 +340,63 @@ class FusedFrameEngine:
     def __call__(self, img_bgr: np.ndarray) -> Tuple[List, List, List]:
         """Reference-format (pts_res, vertices_lst, poses) in original-image
         coordinates."""
-        from synergynet_tpu.detect.detector import CANVAS, _fit_scale
-        from synergynet_tpu.detect.net import space_to_depth
-        import cv2
-
-        h, w = img_bgr.shape[:2]
-        scale = _fit_scale(h, w)
-        img_s = (cv2.resize(img_bgr, (int(scale * w), int(scale * h)))
-                 if scale != 1.0 else img_bgr)
-        hs, ws = img_s.shape[:2]
-        ch, cw = CANVAS
-        canvas = np.zeros((ch, cw, 3), np.float32)
-        canvas[:min(hs, ch), :min(ws, cw)] = img_s[:ch, :cw]
-        packed = np.ascontiguousarray(
-            space_to_depth(canvas, self.detector.stem_r))
-
+        canvas, packed, true_hw, scale = prepare_frame(
+            img_bgr, self.detector.stem_r)
         out = self._program(self.api.variables, self.detector.variables,
                             *self.pack_args,
                             jnp.asarray(canvas), jnp.asarray(packed),
-                            jnp.asarray([hs, ws], jnp.int32))
+                            true_hw)
         scores, n, rois, p62, lmk, dense, angles, t3d = map(np.asarray, out)
-        n = int(n)
-        inv = 1.0 / scale
-        pts, verts, poses = [], [], []
-        for i in range(n):
-            # Canvas -> original coordinates: x, y by 1/scale; z too — the
-            # decode scaled z by the roi extent measured in canvas pixels,
-            # and the reference's z scale is measured in original pixels
-            # (utils/inference.py:136). t3d z stays unscaled like the
-            # reference's predict_pose (utils/inference.py:151-153).
-            pts.append(lmk[i] * inv)
-            verts.append(dense[i] * inv)
-            t = t3d[i].copy()
-            t[:2] *= inv
-            poses.append([angles[i], t])
-        return pts, verts, poses
+        return unpack_face_outputs(int(n), lmk, dense, angles, t3d, scale)
+
+
+def prepare_frame(img_bgr: np.ndarray, stem_r: int):
+    """Fit an arbitrary BGR frame onto the fixed detector canvas.
+
+    Returns (canvas f32 (CH,CW,3), s2d-packed canvas, true_hw int32 (2,),
+    scale) — the shared host-side front end of FusedFrameEngine and
+    FusedOverlayEngine (kept in ONE place so the fit/pack rules cannot
+    diverge between the engines; round-5 review).
+
+    Known optimization, deliberately not taken this round: both tensors
+    ship as float32 (~18 MB/frame over the ~37 MB/s tunnel, ~0.5 s); a
+    uint8 upload with the f32 cast inside the program would cut that 4x
+    (the convention everywhere else — CLAUDE.md). It changes the compiled
+    program signature of the flagship serving path, so per the round-4
+    lesson it must land WITH an on-chip validation + bench re-warm, not
+    as a late edit. The on-device measured loop (bench.py) is unaffected
+    either way — this is per-call host latency only."""
+    import cv2
+    from synergynet_tpu.detect.detector import CANVAS, _fit_scale
+    from synergynet_tpu.detect.net import space_to_depth
+
+    h, w = img_bgr.shape[:2]
+    scale = _fit_scale(h, w)
+    img_s = (cv2.resize(img_bgr, (int(scale * w), int(scale * h)))
+             if scale != 1.0 else img_bgr)
+    hs, ws = img_s.shape[:2]
+    ch, cw = CANVAS
+    canvas = np.zeros((ch, cw, 3), np.float32)
+    canvas[:min(hs, ch), :min(ws, cw)] = img_s[:ch, :cw]
+    packed = np.ascontiguousarray(space_to_depth(canvas, stem_r))
+    return canvas, packed, jnp.asarray([hs, ws], jnp.int32), scale
+
+
+def unpack_face_outputs(n: int, lmk, dense, angles, t3d, scale: float):
+    """Canvas -> original coordinates for the first ``n`` fused-program
+    faces: x, y by 1/scale; z too — the decode scaled z by the roi extent
+    measured in canvas pixels, and the reference's z scale is measured in
+    original pixels (utils/inference.py:136). t3d z stays unscaled like
+    the reference's predict_pose (utils/inference.py:151-153)."""
+    inv = 1.0 / scale
+    pts, verts, poses = [], [], []
+    for i in range(n):
+        pts.append(lmk[i] * inv)
+        verts.append(dense[i] * inv)
+        t = t3d[i].copy()
+        t[:2] *= inv
+        poses.append([angles[i], t])
+    return pts, verts, poses
 
 
 def _fused_batch_program(engine: "FusedFrameEngine"):

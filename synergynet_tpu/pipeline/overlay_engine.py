@@ -191,36 +191,21 @@ class FusedOverlayEngine:
         oversized inputs, unlike the reference which renders at native
         resolution)."""
         import cv2
-        from synergynet_tpu.detect.detector import CANVAS, _fit_scale
-        from synergynet_tpu.detect.net import space_to_depth
+        from synergynet_tpu.pipeline.api import (prepare_frame,
+                                                 unpack_face_outputs)
 
         h, w = img_bgr.shape[:2]
-        scale = _fit_scale(h, w)
-        img_s = (cv2.resize(img_bgr, (int(scale * w), int(scale * h)))
-                 if scale != 1.0 else img_bgr)
-        hs, ws = img_s.shape[:2]
-        ch, cw = CANVAS
-        canvas = np.zeros((ch, cw, 3), np.float32)
-        canvas[:min(hs, ch), :min(ws, cw)] = img_s[:ch, :cw]
-        packed = np.ascontiguousarray(
-            space_to_depth(canvas, self.engine.detector.stem_r))
-
+        canvas, packed, true_hw, scale = prepare_frame(
+            img_bgr, self.engine.detector.stem_r)
+        hs, ws = (int(x) for x in np.asarray(true_hw))
         outs, overlay, _ = self._program(
             self.engine.api.variables, self.engine.detector.variables,
             *self.engine.pack_args,
             self._tris_face, self._tris_all, self._rings,
-            jnp.asarray(canvas), jnp.asarray(packed),
-            jnp.asarray([hs, ws], jnp.int32))
+            jnp.asarray(canvas), jnp.asarray(packed), true_hw)
         scores, n, rois, p62, lmk, dense, angles, t3d = map(np.asarray, outs)
-        n = int(n)
-        inv = 1.0 / scale
-        pts, verts, poses = [], [], []
-        for i in range(n):
-            pts.append(lmk[i] * inv)
-            verts.append(dense[i] * inv)
-            t = t3d[i].copy()
-            t[:2] *= inv
-            poses.append([angles[i], t])
+        pts, verts, poses = unpack_face_outputs(int(n), lmk, dense, angles,
+                                                t3d, scale)
         ov = np.asarray(overlay)[:hs, :ws]
         if scale != 1.0:
             ov = cv2.resize(ov, (w, h))

@@ -421,6 +421,30 @@ class TestFoldBN:
         np.testing.assert_allclose(np.asarray(conf), np.asarray(conf2),
                                    rtol=1e-5, atol=1e-4)
 
+    def test_prefolded_tree_constructor(self):
+        """FaceBoxes accepts an already-BN-folded tree (conv bias present,
+        no batch_stats) under every stem config, honoring the r8 request
+        instead of crashing on a dropped bias (round-5 review), and its
+        detections match the raw-tree wrapper's."""
+        from synergynet_tpu.detect.detector import FaceBoxes
+        from synergynet_tpu.detect.net import fold_bn_variables
+        from synergynet_tpu.detect.torch_import import random_init_variables
+
+        raw = random_init_variables(seed=7)
+        img = np.random.default_rng(11).integers(
+            0, 255, (200, 300, 3), np.uint8)
+        ref = FaceBoxes(variables=raw).detect_raw(img)
+        for kw in ({"stem_r": 8}, {"stem_r": 4}, {"stem_s2d": False,
+                                                  "stem_r": 1}):
+            det = FaceBoxes(variables=fold_bn_variables(raw), **kw)
+            if kw.get("stem_r") == 8:
+                assert det.stem_r == 8        # honored, not downgraded
+            got = det.detect_raw(img)
+            assert got[1] == ref[1]
+            np.testing.assert_allclose(np.asarray(got[0][:got[1]]),
+                                       np.asarray(ref[0][:ref[1]]),
+                                       rtol=1e-4, atol=1e-2)
+
     def test_folded_s2d_net_matches(self):
         import jax
         import jax.numpy as jnp

@@ -49,6 +49,21 @@ class TestBoxMath:
         _, l_all = match(gt, jnp.asarray([True, True]), anchors)
         assert np.asarray(l_valid)[0] == 1
 
+    def test_match_padded_row_cannot_steal_anchor_zero(self):
+        """Padded GT rows argmax to anchor 0 on their all-(-1) IoU row; the
+        redirect (round-5 review) must keep them from racing a valid GT
+        whose best anchor IS anchor 0 — the valid claim always wins."""
+        anchors = jnp.asarray([[0.1, 0.1, 0.2, 0.2],
+                               [0.8, 0.8, 0.2, 0.2]], jnp.float32)
+        gt = jnp.asarray([[0.02, 0.02, 0.18, 0.18],      # best = anchor 0
+                          [0.0, 0.0, 0.0, 0.0]], jnp.float32)   # padding
+        loc_t, labels = match(gt, jnp.asarray([True, False]), anchors,
+                              iou_threshold=0.9)
+        assert np.asarray(labels)[0] == 1   # claim survived the pad row
+        # And the regression target is the valid GT's box, not the pad's.
+        back = np.asarray(decode_boxes(loc_t, anchors))
+        np.testing.assert_allclose(back[0], np.asarray(gt[0]), atol=1e-5)
+
     def test_multibox_loss_finite_and_ordered(self, rng):
         b, a = 2, 64
         loc_pred = jnp.asarray(rng.normal(0, 0.1, (b, a, 4)), jnp.float32)

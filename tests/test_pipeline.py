@@ -60,6 +60,16 @@ class TestAPI:
         img = np.zeros((100, 100, 3), np.uint8)
         assert api.get_all_outputs(img, rects=[]) == ([], [], [])
 
+    def test_process_crops_zero_faces(self, api):
+        """The public batched API keeps its 5-tuple-of-arrays contract at
+        n=0 (round-5 review: the empty chunk loop returned [])."""
+        out = api.process_crops(np.zeros((0, 120, 120, 3), np.uint8),
+                                np.zeros((0, 4), np.float32))
+        p62, lmk, dense, angles, t3d = out
+        assert p62.shape == (0, 62) and lmk.shape[0] == 0
+        assert dense.shape[0] == 0 and angles.shape == (0, 3)
+        assert t3d.shape == (0, 3)
+
     def test_bucket_padding_consistent(self, api):
         """3 faces (padded to bucket 4) must equal the same faces run alone."""
         rng = np.random.default_rng(2)
